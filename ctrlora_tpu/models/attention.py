@@ -1,0 +1,175 @@
+"""Spatial transformer stack: cross/self attention, GEGLU FF, transformer
+blocks (reference: ldm/modules/attention.py:145-341 and the IP-Adapter
+variant ldm/modules/attention_ip.py:196-289).
+
+All attention runs through ops.flash_attention.dot_product_attention, which
+uses a Pallas online-softmax kernel on TPU — this single code path replaces
+the reference's sliced-attention hack, xformers path, and fp32-QK autocast
+escape hatch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ctrlora_tpu.configs import LoRAConfig
+from ctrlora_tpu.models.layers import Conv, Dense, GroupNorm32, LayerNorm32
+from ctrlora_tpu.ops.flash_attention import dot_product_attention
+
+Dtype = Any
+
+
+class CrossAttention(nn.Module):
+    """Self- or cross-attention with optional LoRA on q/k/v/out and an
+    optional IP-Adapter image branch (extra k/v projections over the last
+    `ip_tokens` context tokens, output scaled by `ip_scale`)."""
+
+    query_dim: int
+    heads: int
+    dim_head: int
+    context_dim: Optional[int] = None  # None -> self attention
+    dtype: Dtype = jnp.float32
+    lora: Optional[LoRAConfig] = None
+    use_flash: bool = True
+    ip_tokens: int = 0
+
+    @nn.compact
+    def __call__(self, x, context=None, lora_idx=None):
+        inner = self.heads * self.dim_head
+        is_self = context is None
+        ctx = x if is_self else context
+        ip_ctx = None
+        if self.ip_tokens > 0 and not is_self:
+            # context = [text tokens | image-prompt tokens]
+            ip_ctx = ctx[:, -self.ip_tokens:, :]
+            ctx = ctx[:, : ctx.shape[1] - self.ip_tokens, :]
+
+        dense = lambda name: Dense(
+            inner, use_bias=False, dtype=self.dtype, lora=self.lora, name=name
+        )
+        q = dense("to_q")(x, lora_idx)
+        k = dense("to_k")(ctx, lora_idx)
+        v = dense("to_v")(ctx, lora_idx)
+
+        b, sq, _ = q.shape
+        split = lambda t: t.reshape(b, t.shape[1], self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        out = dot_product_attention(
+            split(q), split(k), split(v), use_flash=self.use_flash
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+
+        if ip_ctx is not None:
+            # IP-Adapter branch (reference: attention_ip.py:208-288): separate
+            # k/v over image tokens, same queries; summed with per-layer scale.
+            k_ip = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_ip")(ip_ctx)
+            v_ip = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v_ip")(ip_ctx)
+            out_ip = dot_product_attention(
+                split(q), split(k_ip), split(v_ip), use_flash=False
+            )
+            out_ip = out_ip.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+            ip_scale = self.param("ip_scale", nn.initializers.ones, (), jnp.float32)
+            out = out + ip_scale.astype(out.dtype) * out_ip
+
+        return Dense(self.query_dim, dtype=self.dtype, lora=self.lora, name="to_out")(
+            out, lora_idx
+        )
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (reference: attention.py:48-75, glu=True)."""
+
+    dim: int
+    mult: int = 4
+    dtype: Dtype = jnp.float32
+    lora: Optional[LoRAConfig] = None
+
+    @nn.compact
+    def __call__(self, x, lora_idx=None):
+        inner = self.dim * self.mult
+        h = Dense(inner * 2, dtype=self.dtype, lora=self.lora, name="proj")(x, lora_idx)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)
+        return Dense(self.dim, dtype=self.dtype, lora=self.lora, name="out")(h, lora_idx)
+
+
+class BasicTransformerBlock(nn.Module):
+    """Pre-LN self-attn -> cross-attn -> FF block (reference:
+    attention.py:246-275). The three LayerNorms are 'norm'-named and so are
+    banked/trainable under the reference's name-filter rules."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    context_dim: Optional[int]
+    dtype: Dtype = jnp.float32
+    lora: Optional[LoRAConfig] = None
+    use_flash: bool = True
+    ip_tokens: int = 0
+
+    @nn.compact
+    def __call__(self, x, context, lora_idx=None):
+        banks = (
+            self.lora.n_loras
+            if (self.lora is not None and self.lora.switchable_banks)
+            else 0
+        )
+        h = LayerNorm32(n_banks=banks, name="norm1")(x, lora_idx)
+        x = x + CrossAttention(
+            query_dim=self.dim, heads=self.heads, dim_head=self.dim_head,
+            dtype=self.dtype, lora=self.lora, use_flash=self.use_flash, name="attn1",
+        )(h, None, lora_idx)
+        h = LayerNorm32(n_banks=banks, name="norm2")(x, lora_idx)
+        x = x + CrossAttention(
+            query_dim=self.dim, heads=self.heads, dim_head=self.dim_head,
+            context_dim=self.context_dim, dtype=self.dtype, lora=self.lora,
+            use_flash=self.use_flash, ip_tokens=self.ip_tokens, name="attn2",
+        )(h, context, lora_idx)
+        h = LayerNorm32(n_banks=banks, name="norm3")(x, lora_idx)
+        x = x + FeedForward(self.dim, dtype=self.dtype, lora=self.lora, name="ff")(
+            h, lora_idx
+        )
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """GroupNorm -> 1x1 proj -> transformer blocks -> zero 1x1 proj, residual
+    (reference: attention.py:278-341, use_linear=False)."""
+
+    heads: int
+    dim_head: int
+    depth: int = 1
+    context_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+    lora: Optional[LoRAConfig] = None
+    use_flash: bool = True
+    ip_tokens: int = 0
+
+    @nn.compact
+    def __call__(self, x, context, lora_idx=None):
+        b, h, w, c = x.shape
+        inner = self.heads * self.dim_head
+        banks = (
+            self.lora.n_loras
+            if (self.lora is not None and self.lora.switchable_banks)
+            else 0
+        )
+        x_in = x
+        x = GroupNorm32(eps=1e-6, n_banks=banks, name="norm")(x, lora_idx)
+        x = Conv(inner, kernel_size=(1, 1), dtype=self.dtype, name="proj_in")(x)
+        x = x.reshape(b, h * w, inner)
+        for i in range(self.depth):
+            x = BasicTransformerBlock(
+                dim=inner, heads=self.heads, dim_head=self.dim_head,
+                context_dim=self.context_dim, dtype=self.dtype, lora=self.lora,
+                use_flash=self.use_flash, ip_tokens=self.ip_tokens,
+                name=f"block_{i}",
+            )(x, context, lora_idx)
+        x = x.reshape(b, h, w, inner)
+        x = Conv(
+            c, kernel_size=(1, 1), dtype=self.dtype,
+            kernel_init=nn.initializers.zeros, name="proj_out",
+        )(x)
+        return x + x_in
