@@ -82,7 +82,8 @@ class CLIPTextModel(nn.Module):
             "position_embedding", nn.initializers.normal(0.02),
             (cfg.max_length, cfg.hidden_size), jnp.float32,
         )
-        x = jnp.take(tok, input_ids, axis=0) + pos[None, :s]
+        # mode='clip': out-of-vocab ids clamp instead of producing NaNs
+        x = jnp.take(tok, input_ids, axis=0, mode="clip") + pos[None, :s]
         x = x.astype(cfg.compute_dtype)
         causal = jnp.triu(jnp.full((s, s), -jnp.inf, jnp.float32), k=1)[None, None]
 

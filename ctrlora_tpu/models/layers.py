@@ -151,7 +151,10 @@ class Conv(nn.Module):
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
     strides: Tuple[int, int] = (1, 1)
-    padding: Any = "SAME"
+    # None -> torch-style symmetric padding (k-1)//2 on both sides; this is
+    # NOT XLA 'SAME' for strided convs (SAME splits odd padding (0,1), torch
+    # pads (1,1) and shifts the sampling grid)
+    padding: Any = None
     use_bias: bool = True
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.lecun_normal()
@@ -162,11 +165,14 @@ class Conv(nn.Module):
             "kernel", self.kernel_init,
             (*self.kernel_size, x.shape[-1], self.features), jnp.float32,
         )
+        padding = self.padding
+        if padding is None:
+            padding = [((k - 1) // 2, (k - 1) // 2) for k in self.kernel_size]
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
             window_strides=self.strides,
-            padding=self.padding,
+            padding=padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:

@@ -1,0 +1,62 @@
+"""Device mesh and sharding rules.
+
+The reference's only distribution strategy is Lightning DDP over NCCL
+(scripts/train_ctrlora_pretrain.py:118). The TPU-native equivalent is a 1-D
+`data` mesh over ICI: batch sharded across devices, params/optimizer
+replicated, gradient all-reduce inserted by XLA from the sharding
+annotations. Multi-host runs initialize jax.distributed and shard the global
+batch per host. At SD1.5 scale (~1.2B params incl. frozen towers, 361M-param
+control branch) no TP/PP is needed; the optional `fsdp` flag shards optimizer
+state over `data` for memory headroom.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(num_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharded(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place a host-global batch dict onto the mesh, split on axis 0."""
+    sharding = data_sharded(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def init_distributed() -> None:
+    """Multi-host bootstrap (no-op on a single host)."""
+    try:
+        if jax.process_count() > 1:
+            return  # already initialized
+    except RuntimeError:
+        pass
+    try:
+        jax.distributed.initialize()
+    except Exception:
+        pass  # single-host / local run

@@ -1,0 +1,197 @@
+"""CtrLoRA pipeline: the functional equivalent of the reference's LDM tree.
+
+The reference composes LatentDiffusion subclasses holding live torch modules
+(ControlLDM / ControlPretrainLDM / ControlFinetuneLDM / ControlInferenceLDM,
+cldm/cldm*.py). Here the same roles collapse into one functional bundle:
+
+  * modules are static Flax definitions,
+  * weights live in a `Params` pytree (unet / control / vae / clip),
+  * `apply_model` covers every variant through data, not subclassing:
+      - no control (plain SD) when hint is None,
+      - image-hint vanilla ControlNet (cfg.control.hint_mode == 'image'),
+      - latent-hint CtrLoRA with per-call `lora_idx` (pretrain/finetune),
+      - multi-condition weighted control sums (inference with N LoRAs,
+        reference cldm/cldm_ctrlora_inference.py:156-178).
+
+Everything is jit-compatible; LoRA/task switching is a traced integer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ctrlora_tpu.configs import ModelConfig
+from ctrlora_tpu.models.clip import CLIPTextModel
+from ctrlora_tpu.models.unet import ControlNet, UNet
+from ctrlora_tpu.models.vae import AutoencoderKL, sample_posterior
+from ctrlora_tpu.schedules import DiffusionSchedule, make_schedule
+from ctrlora_tpu.utils.tokenizer import default_tokenizer
+
+
+class Params(NamedTuple):
+    unet: Any
+    control: Any  # None when the model has no control branch
+    vae: Any
+    clip: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class Conditioning:
+    """One control condition: a latent (or pixel) hint plus its adapter index
+    and blend weight. Multi-LoRA inference passes several of these."""
+
+    hint: jnp.ndarray  # latent-mode: [B,h,w,4] VAE-encoded; image-mode: [B,H,W,3]
+    lora_idx: Optional[jnp.ndarray] = None  # int32 scalar
+    weight: float = 1.0
+
+
+class CtrLoraPipeline:
+    """Static module bundle + schedule. All methods are pure functions of
+    (params, inputs) and safe to close over in jit."""
+
+    def __init__(self, cfg: ModelConfig):
+        self.cfg = cfg
+        self.unet = UNet(cfg.unet)
+        self.control = ControlNet(cfg.control) if cfg.control is not None else None
+        self.vae = AutoencoderKL(cfg.vae)
+        self.clip = CLIPTextModel(cfg.clip)
+        self.schedule: DiffusionSchedule = make_schedule(
+            beta_schedule=cfg.diffusion.beta_schedule,
+            timesteps=cfg.diffusion.timesteps,
+            linear_start=cfg.diffusion.linear_start,
+            linear_end=cfg.diffusion.linear_end,
+            cosine_s=cfg.diffusion.cosine_s,
+            v_posterior=cfg.diffusion.v_posterior,
+            parameterization=cfg.diffusion.parameterization,
+        )
+        self.n_control_taps = None
+        if self.control is not None:
+            from ctrlora_tpu.models.unet import encoder_plan
+
+            self.n_control_taps = len(encoder_plan(cfg.control.unet)[0]) + 1
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+    def init(self, rng: jax.Array, image_size: int = 64) -> Params:
+        """Random-init all parameter trees (tiny shapes are fine: params are
+        shape-independent)."""
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+        s = image_size
+        x = jnp.zeros((1, s, s, self.cfg.unet.in_channels))
+        t = jnp.zeros((1,), jnp.int32)
+        ctx = jnp.zeros((1, self.cfg.clip.max_length, self.cfg.clip.hidden_size))
+        unet_params = self.unet.init(r1, x, t, ctx)
+        control_params = None
+        if self.control is not None:
+            if self.cfg.control.hint_mode == "image":
+                hint = jnp.zeros((1, s * 8, s * 8, self.cfg.control.hint_channels))
+                control_params = self.control.init(
+                    r2, x, t, ctx, hint=hint, lora_idx=jnp.int32(0)
+                )
+            else:
+                control_params = self.control.init(r2, x, t, ctx, lora_idx=jnp.int32(0))
+        vae_params = self.vae.init(
+            r3, jnp.zeros((1, s * 8, s * 8, self.cfg.vae.in_channels))
+        )
+        clip_params = self.clip.init(
+            r4, jnp.zeros((1, self.cfg.clip.max_length), jnp.int32)
+        )
+        return Params(unet_params, control_params, vae_params, clip_params)
+
+    # ------------------------------------------------------------------
+    # frozen towers
+    # ------------------------------------------------------------------
+    def encode_first_stage(
+        self, params: Params, img: jnp.ndarray, rng: Optional[jax.Array] = None
+    ) -> jnp.ndarray:
+        """img in [-1, 1] NHWC -> scaled latent z (reference:
+        ddpm.py:655-662: z = scale_factor * posterior.sample())."""
+        mean, logvar = self.vae.apply(params.vae, img, method=AutoencoderKL.encode)
+        z = mean if rng is None else sample_posterior(mean, logvar, rng)
+        return self.cfg.diffusion.scale_factor * z
+
+    def decode_first_stage(self, params: Params, z: jnp.ndarray) -> jnp.ndarray:
+        return self.vae.apply(
+            params.vae, z / self.cfg.diffusion.scale_factor, method=AutoencoderKL.decode
+        )
+
+    def encode_text_tokens(self, params: Params, token_ids: jnp.ndarray) -> jnp.ndarray:
+        L = self.cfg.clip.max_length
+        if token_ids.shape[1] == L:
+            return self.clip.apply(params.clip, token_ids)
+        # windowed 'clip hack' (cldm/hack.py:32-68): encode each 77-window
+        outs = [
+            self.clip.apply(params.clip, token_ids[:, i * L : (i + 1) * L])
+            for i in range(token_ids.shape[1] // L)
+        ]
+        return jnp.concatenate(outs, axis=1)
+
+    def encode_text(self, params: Params, prompts: Sequence[str], windows: int = 1):
+        """Host-side helper: tokenize + encode (not jittable)."""
+        ids = default_tokenizer()(prompts, windows=windows)
+        if int(ids.max()) >= self.cfg.clip.vocab_size:
+            raise ValueError(
+                f"tokenizer produced id {int(ids.max())} >= model vocab "
+                f"{self.cfg.clip.vocab_size}; config/tokenizer mismatch"
+            )
+        return self.encode_text_tokens(params, jnp.asarray(ids))
+
+    # ------------------------------------------------------------------
+    # the denoiser
+    # ------------------------------------------------------------------
+    def apply_control(
+        self,
+        params: Params,
+        x_noisy: jnp.ndarray,
+        t: jnp.ndarray,
+        context: jnp.ndarray,
+        conds: Sequence[Conditioning],
+        control_scales: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, ...]:
+        """Run the control branch for each condition and blend residuals
+        (reference: cldm_ctrlora_inference.py:166-176)."""
+        assert self.control is not None
+        n = self.n_control_taps
+        if control_scales is None:
+            control_scales = jnp.ones((n,), jnp.float32)
+        total = None
+        for cond in conds:
+            if self.cfg.control.hint_mode == "image":
+                taps = self.control.apply(
+                    params.control, x_noisy, t, context,
+                    hint=cond.hint, lora_idx=cond.lora_idx,
+                )
+            else:
+                taps = self.control.apply(
+                    params.control, cond.hint, t, context, lora_idx=cond.lora_idx
+                )
+            taps = [c * control_scales[i] * cond.weight for i, c in enumerate(taps)]
+            if self.cfg.diffusion.global_average_pooling:
+                taps = [jnp.mean(c, axis=(1, 2), keepdims=True) for c in taps]
+            total = taps if total is None else [a + b for a, b in zip(total, taps)]
+        return tuple(total)
+
+    def apply_model(
+        self,
+        params: Params,
+        x_noisy: jnp.ndarray,
+        t: jnp.ndarray,
+        context: jnp.ndarray,
+        conds: Optional[Sequence[Conditioning]] = None,
+        control_scales: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Predict model output (eps by default) for noisy latents."""
+        control = None
+        if conds:
+            control = self.apply_control(
+                params, x_noisy, t, context, conds, control_scales
+            )
+        return self.unet.apply(
+            params.unet, x_noisy, t, context,
+            control=control, only_mid_control=self.cfg.diffusion.only_mid_control,
+        )

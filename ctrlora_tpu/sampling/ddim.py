@@ -1,0 +1,196 @@
+"""DDIM sampler as a single fused lax.scan (reference: cldm/ddim_hacked.py).
+
+TPU-first rework of the reference's host-side python loop:
+  * the whole S-step trajectory is one `lax.scan` inside one jit — no
+    host<->device round trips, no per-step dispatch;
+  * classifier-free guidance runs cond and uncond through ONE model call on
+    a stacked 2B batch (the reference calls apply_model twice per step,
+    ddim_hacked.py:190-191);
+  * the hint is VAE-encoded once before the loop (the reference re-encodes
+    it every step: cldm_ctrlora_inference.py:170);
+  * supports eps- and v-parameterization, eta noise, temperature, mask
+    inpainting, and per-step ucg schedules.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ctrlora_tpu.pipeline import Conditioning, CtrLoraPipeline, Params
+from ctrlora_tpu.schedules import (
+    DDIMSchedule, make_ddim_schedule, predict_eps_from_z_and_v,
+    predict_start_from_z_and_v, q_sample,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DDIMConfig:
+    steps: int = 50
+    eta: float = 0.0
+    guidance_scale: float = 7.5
+    temperature: float = 1.0
+    # per-step guidance scales overriding guidance_scale (e.g. guess mode);
+    # indexed in sampling order (t descending)
+    ucg_schedule: Optional[Sequence[float]] = None
+
+
+def ddim_sample(
+    pipe: CtrLoraPipeline,
+    params: Params,
+    rng: jax.Array,
+    context: jnp.ndarray,  # [B, S, D] conditional text context
+    uncond_context: Optional[jnp.ndarray],  # [B, S, D] or None for no CFG
+    conds: Optional[Sequence[Conditioning]],
+    latent_shape: Sequence[int],  # (B, h, w, c)
+    cfg: DDIMConfig = DDIMConfig(),
+    control_scales: Optional[jnp.ndarray] = None,
+    x_T: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,  # [B,h,w,c] 1=keep x0 region
+    x0: Optional[jnp.ndarray] = None,
+    ddim_schedule: Optional[DDIMSchedule] = None,
+) -> jnp.ndarray:
+    """Returns final latents [B, h, w, c]. Jit-compatible (wrap in jax.jit
+    with pipe/cfg static or close over them)."""
+    sched = pipe.schedule
+    dd = ddim_schedule or make_ddim_schedule(sched, cfg.steps, eta=cfg.eta)
+    B = latent_shape[0]
+    use_cfg = uncond_context is not None and cfg.guidance_scale != 1.0
+
+    rng, init_rng = jax.random.split(rng)
+    img = (
+        x_T
+        if x_T is not None
+        else jax.random.normal(init_rng, tuple(latent_shape), jnp.float32)
+    )
+
+    # stack cond/uncond into one 2B batch: uncond uses the SAME hints
+    # (reference: uc_cat = c_cat, cldm/cldm.py:398)
+    if use_cfg:
+        full_context = jnp.concatenate([context, uncond_context], axis=0)
+        full_conds = (
+            [
+                Conditioning(
+                    jnp.concatenate([c.hint, c.hint], axis=0), c.lora_idx, c.weight
+                )
+                for c in conds
+            ]
+            if conds
+            else None
+        )
+    else:
+        full_context = context
+        full_conds = conds
+
+    # tables gathered per scan step, ordered t-descending
+    order = jnp.arange(dd.num_steps - 1, -1, -1)
+    ts_seq = jnp.asarray(dd.timesteps)[order]
+    a_seq = jnp.asarray(dd.alphas)[order]
+    ap_seq = jnp.asarray(dd.alphas_prev)[order]
+    s1m_seq = jnp.asarray(dd.sqrt_one_minus_alphas)[order]
+    sig_seq = jnp.asarray(dd.sigmas)[order]
+    if cfg.ucg_schedule is not None:
+        assert len(cfg.ucg_schedule) == dd.num_steps
+        ucg_seq = jnp.asarray(cfg.ucg_schedule, jnp.float32)
+    else:
+        ucg_seq = jnp.full((dd.num_steps,), cfg.guidance_scale, jnp.float32)
+
+    sqrt_ac = jnp.asarray(sched.sqrt_alphas_cumprod)
+    sqrt_1mac = jnp.asarray(sched.sqrt_one_minus_alphas_cumprod)
+    v_param = pipe.cfg.diffusion.parameterization == "v"
+
+    def model_out(x, t_scalar):
+        tvec = jnp.full((x.shape[0],), t_scalar, jnp.int32)
+        if use_cfg:
+            x2 = jnp.concatenate([x, x], axis=0)
+            out = pipe.apply_model(
+                params, x2, jnp.concatenate([tvec, tvec]), full_context,
+                full_conds, control_scales,
+            )
+            return out[:B], out[B:]
+        out = pipe.apply_model(params, x, tvec, full_context, full_conds, control_scales)
+        return out, None
+
+    def step(carry, inputs):
+        img, rng = carry
+        t_scalar, a_t, a_prev, s1m_t, sigma_t, scale = inputs
+        rng, noise_rng, mask_rng = jax.random.split(rng, 3)
+
+        if mask is not None:
+            assert x0 is not None
+            tvec = jnp.full((B,), t_scalar, jnp.int32)
+            img_orig = q_sample(
+                sqrt_ac, sqrt_1mac, x0, tvec,
+                jax.random.normal(mask_rng, img.shape, img.dtype),
+            )
+            img = img_orig * mask + (1.0 - mask) * img
+
+        out_c, out_u = model_out(img, t_scalar)
+        model_output = out_c if out_u is None else out_u + scale * (out_c - out_u)
+
+        tvec = jnp.full((B,), t_scalar, jnp.int32)
+        if v_param:
+            e_t = predict_eps_from_z_and_v(sched, img, tvec, model_output)
+            pred_x0 = predict_start_from_z_and_v(sched, img, tvec, model_output)
+        else:
+            e_t = model_output
+            pred_x0 = (img - s1m_t * e_t) / jnp.sqrt(a_t)
+
+        dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * e_t
+        noise = sigma_t * jax.random.normal(noise_rng, img.shape, img.dtype) * cfg.temperature
+        img_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
+        return (img_prev, rng), None
+
+    (img, _), _ = jax.lax.scan(
+        step, (img, rng), (ts_seq, a_seq, ap_seq, s1m_seq, sig_seq, ucg_seq)
+    )
+    return img
+
+
+def ddim_stochastic_encode(
+    pipe: CtrLoraPipeline,
+    x0: jnp.ndarray,
+    t_index: jnp.ndarray,
+    rng: jax.Array,
+    steps: int,
+) -> jnp.ndarray:
+    """Noise x0 to DDIM step index t (reference: ddim_hacked.py:281-295);
+    used by the style-transfer pipeline's img2img path."""
+    dd = make_ddim_schedule(pipe.schedule, steps)
+    sqrt_a = jnp.sqrt(jnp.asarray(dd.alphas))
+    sqrt_1ma = jnp.asarray(dd.sqrt_one_minus_alphas)
+    noise = jax.random.normal(rng, x0.shape, x0.dtype)
+    sel = lambda tab: jnp.take(tab, t_index).reshape(-1, *([1] * (x0.ndim - 1)))
+    return sel(sqrt_a) * x0 + sel(sqrt_1ma) * noise
+
+
+def ddim_decode_from(
+    pipe: CtrLoraPipeline,
+    params: Params,
+    x_latent: jnp.ndarray,
+    t_start: int,
+    context: jnp.ndarray,
+    uncond_context: Optional[jnp.ndarray],
+    conds: Optional[Sequence[Conditioning]],
+    cfg: DDIMConfig,
+    rng: jax.Array,
+    control_scales: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """DDIM decode starting from an intermediate step (reference:
+    ddim_hacked.py:297-317). Runs the first t_start steps of the ladder."""
+    full = make_ddim_schedule(pipe.schedule, cfg.steps, eta=cfg.eta)
+    sub = DDIMSchedule(
+        timesteps=full.timesteps[:t_start],
+        alphas=full.alphas[:t_start],
+        alphas_prev=full.alphas_prev[:t_start],
+        sqrt_one_minus_alphas=full.sqrt_one_minus_alphas[:t_start],
+        sigmas=full.sigmas[:t_start],
+    )
+    return ddim_sample(
+        pipe, params, rng, context, uncond_context, conds,
+        x_latent.shape, dataclasses.replace(cfg, steps=t_start),
+        control_scales=control_scales, x_T=x_latent, ddim_schedule=sub,
+    )

@@ -144,7 +144,10 @@ def make_ddim_timesteps(
     """DDIM sub-sequence of DDPM timesteps (reference: util.py:46-60)."""
     if discr_method == "uniform":
         c = num_ddpm_timesteps // num_ddim_timesteps
-        ddim_timesteps = np.asarray(list(range(0, num_ddpm_timesteps, c)))
+        # identical to the reference's range(0, T, c) when S divides T, but
+        # bounded to exactly S steps otherwise (range() would overflow to
+        # index T after the +1 shift below)
+        ddim_timesteps = np.arange(num_ddim_timesteps) * c
     elif discr_method == "quad":
         ddim_timesteps = (
             np.linspace(0, np.sqrt(num_ddpm_timesteps * 0.8), num_ddim_timesteps) ** 2

@@ -5,7 +5,9 @@ CI). Must run before jax is imported anywhere."""
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the session env pre-sets JAX_PLATFORMS=axon (single real TPU); tests must
+# run on the virtual 8-device CPU platform, so force-override
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,6 +15,16 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# jax may already be imported by a pytest plugin (its config snapshots the
+# env at import time), so set the config values directly as well
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass  # older jax: the XLA_FLAGS path above covers it
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

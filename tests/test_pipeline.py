@@ -1,0 +1,179 @@
+"""End-to-end tiny tests: pipeline, DDIM sampling, training step, masks,
+and 8-device data parallelism."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ctrlora_tpu.configs import tiny_test_config, TrainConfig
+from ctrlora_tpu.pipeline import Conditioning, CtrLoraPipeline
+from ctrlora_tpu.sampling.ddim import DDIMConfig, ddim_sample
+from ctrlora_tpu.training.step import make_train_step, loss_for_batch
+from ctrlora_tpu.training.train_state import (
+    create_train_state, trainable_mask, count_trainable,
+)
+
+
+def make_pipe(n_loras=1, pretrained_like=True, **kw):
+    cfg = tiny_test_config(n_loras=n_loras, **kw)
+    pipe = CtrLoraPipeline(cfg)
+    params = pipe.init(jax.random.PRNGKey(0), image_size=8)
+    if pretrained_like:
+        # a real model loads SD weights, where the zero-init layers are
+        # non-zero; without this, UNet conv_out == 0 blocks all gradient flow
+        # into the control branch
+        def bump(path, x):
+            ks = jax.tree_util.keystr(path)
+            if "kernel" in ks and any(
+                z in ks for z in ("conv_out", "out_conv", "proj_out")
+            ):
+                return jax.random.normal(jax.random.PRNGKey(9), x.shape) * 0.05
+            return x
+        params = jax.tree_util.tree_map_with_path(bump, params)
+    return pipe, params
+
+
+def make_batch(B=2, size=32):
+    k = jax.random.PRNGKey(1)
+    return {
+        "jpg": jax.random.uniform(k, (B, size, size, 3)) * 2 - 1,
+        "hint": jax.random.uniform(jax.random.PRNGKey(2), (B, size, size, 3)),
+        "token_ids": jnp.ones((B, 16), jnp.int32),
+        "task_idx": jnp.zeros((B,), jnp.int32),
+    }
+
+
+def test_ddim_sample_end_to_end():
+    pipe, params = make_pipe()
+    B = 1
+    ctx = pipe.encode_text_tokens(params, jnp.ones((B, 16), jnp.int32))
+    uncond = pipe.encode_text_tokens(params, jnp.zeros((B, 16), jnp.int32))
+    hint = jax.random.uniform(jax.random.PRNGKey(3), (B, 32, 32, 3))
+    hint_z = pipe.encode_first_stage(params, hint)
+    conds = [Conditioning(hint_z, lora_idx=jnp.int32(0))]
+    z = ddim_sample(
+        pipe, params, jax.random.PRNGKey(4), ctx, uncond, conds,
+        (B, 16, 16, 4), DDIMConfig(steps=3, guidance_scale=7.5),
+    )
+    assert z.shape == (B, 16, 16, 4)
+    assert np.isfinite(np.asarray(z)).all()
+    img = pipe.decode_first_stage(params, z)
+    assert img.shape == (B, 32, 32, 3)
+    # determinism: same rng -> same sample
+    z2 = ddim_sample(
+        pipe, params, jax.random.PRNGKey(4), ctx, uncond, conds,
+        (B, 16, 16, 4), DDIMConfig(steps=3, guidance_scale=7.5),
+    )
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(z2))
+
+
+def test_trainable_mask_rules():
+    pipe, params = make_pipe(n_loras=1)
+    cfg = TrainConfig(trainable="lora", norm_trainable=True, zero_trainable=True)
+    mask = trainable_mask(params, cfg)
+    flat = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_leaves_with_path(mask.control)
+    }
+    trainable = {k for k, v in flat.items() if v}
+    frozen = {k for k, v in flat.items() if not v}
+    assert any("lora_down" in k for k in trainable)
+    assert any("zero_" in k for k in trainable)
+    assert any("['norm1']" in k for k in trainable)
+    assert any("['norm']" in k for k in trainable)  # spatial transformer GN
+    # ResBlock norms (in_norm/out_norm) must stay frozen (reference filters
+    # torch names for 'norm', which those don't match)
+    assert all("in_norm" not in k for k in trainable)
+    assert all("out_norm" not in k for k in trainable)
+    # base kernels frozen
+    assert any("['kernel']" in k for k in frozen)
+    # vae/clip fully frozen; unet frozen when sd_locked
+    assert not any(jax.tree_util.tree_leaves(mask.vae))
+    assert not any(jax.tree_util.tree_leaves(mask.clip))
+    assert not any(jax.tree_util.tree_leaves(mask.unet))
+    # counts: lora-mode trainable should be a small fraction
+    n_train = count_trainable(params.control, mask.control)
+    n_total = sum(p.size for p in jax.tree_util.tree_leaves(params.control))
+    assert 0 < n_train < 0.5 * n_total
+
+
+def test_sd_unlocked_trains_decoder():
+    pipe, params = make_pipe()
+    cfg = TrainConfig(trainable="all", sd_locked=False)
+    mask = trainable_mask(params, cfg)
+    flat = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_leaves_with_path(mask.unet)
+    }
+    assert any(v for k, v in flat.items() if "out_" in k)
+    assert not any(v for k, v in flat.items() if k.startswith("['params']['in_"))
+
+
+def test_train_step_learns_and_respects_mask():
+    pipe, params = make_pipe(n_loras=1)
+    cfg = TrainConfig(learning_rate=1e-3, trainable="lora", grad_accum=1)
+    state, tx, mask = create_train_state(params, cfg)
+    step = make_train_step(pipe, tx, cfg, donate=False)
+    batch = make_batch()
+    rng = jax.random.PRNGKey(7)
+    losses = []
+    for i in range(4):
+        state, metrics = step(state, batch, rng)  # same rng+step folding
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    # gradients must actually flow into the control branch
+    assert float(metrics["grad_norm"]) > 0
+    # frozen params unchanged, at least one trainable param changed
+    changed, frozen_changed = 0, 0
+    for (pth, old), new, m in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(trainable_mask(params, cfg)),
+    ):
+        delta = np.abs(np.asarray(old) - np.asarray(new)).max()
+        if m and delta > 0:
+            changed += 1
+        if not m and delta > 0:
+            frozen_changed += 1
+            print("frozen changed:", jax.tree_util.keystr(pth))
+    assert changed > 0
+    assert frozen_changed == 0
+    # same-batch training must reduce loss: evaluate with a FIXED rng so the
+    # comparison is purely about the params (per-step rngs differ inside step)
+    eval_rng = jax.random.PRNGKey(99)
+    l_before, _ = loss_for_batch(pipe, params, batch, eval_rng)
+    l_after, _ = loss_for_batch(pipe, state.params, batch, eval_rng)
+    assert float(l_after) < float(l_before)
+
+
+def test_grad_accum_matches_big_batch_direction():
+    pipe, params = make_pipe(n_loras=1)
+    cfg = TrainConfig(learning_rate=1e-3, trainable="lora", grad_accum=2)
+    state, tx, _ = create_train_state(params, cfg)
+    step = make_train_step(pipe, tx, cfg, donate=False)
+    b = make_batch(B=2)
+    micro = jax.tree_util.tree_map(lambda x: x.reshape(2, 1, *x.shape[1:]), b)
+    state2, metrics = step(state, micro, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
+
+
+def test_data_parallel_8_devices():
+    from ctrlora_tpu.parallel.mesh import create_mesh, shard_batch, replicate
+
+    assert jax.device_count() >= 8, "conftest must force 8 cpu devices"
+    mesh = create_mesh(8)
+    pipe, params = make_pipe(n_loras=1)
+    cfg = TrainConfig(learning_rate=1e-3, trainable="lora")
+    state, tx, _ = create_train_state(params, cfg)
+    step = make_train_step(pipe, tx, cfg, donate=False)
+    with mesh:
+        state = replicate(mesh, state)
+        batch = shard_batch(mesh, make_batch(B=8))
+        state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 2
