@@ -1,0 +1,110 @@
+"""Annotator registry: name -> lazily constructed detector.
+
+Mirrors the preprocessor set exposed by the reference apps
+(app/gradio_ctrlora.py:36-40 lists 23 choices). Tier-1 algorithmic and HED
+tiers are native here; heavyweight vendored model trees (midas/zoe/normalbae/
+openpose/uniformer/oneformer/densepose/mlsd/lineart*/pidinet) register as
+stubs that raise with a clear message until their Flax ports or external
+weights are wired (tracked for later rounds).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+_FACTORIES: Dict[str, Callable] = {}
+_CACHE: Dict[str, object] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        _FACTORIES[name] = fn
+        return fn
+
+    return deco
+
+
+def available() -> list:
+    return sorted(_FACTORIES)
+
+
+def get(name: str):
+    if name not in _CACHE:
+        if name not in _FACTORIES:
+            raise KeyError(f"unknown annotator {name!r}; available: {available()}")
+        _CACHE[name] = _FACTORIES[name]()
+    return _CACHE[name]
+
+
+def _simple(cls_name: str):
+    def factory():
+        from ctrlora_tpu.annotators import simple
+
+        return getattr(simple, cls_name)()
+
+    return factory
+
+
+for _name, _cls in {
+    "none": "GrayscaleConverter",  # placeholder; 'none' handled by apps
+    "canny": "CannyDetector",
+    "blur": "Blurrer",
+    "grayscale": "GrayscaleConverter",
+    "jpeg": "JpegCompressor",
+    "pad": "Padder",
+    "palette": "PaletteDetector",
+    "pixel": "Pixelater",
+    "illusion": "IllusionConverter",
+    "inpainting": "Inpainter",
+    "inpainting_brush": "BrushInpainter",
+    "outpainting": "Outpainter",
+    "shuffle": "ContentShuffleDetector",
+    "color_shuffle": "ColorShuffleDetector",
+    "gray_random": "GrayDetector",
+    "downsample": "DownSampleDetector",
+}.items():
+    _FACTORIES[_name] = _simple(_cls)
+
+
+@register("hed")
+def _hed():
+    from ctrlora_tpu.annotators.hed import HEDdetector
+
+    return HEDdetector()
+
+
+@register("hedsketch")
+def _hedsketch():
+    from ctrlora_tpu.annotators.hed import HEDSketchDetector
+
+    return HEDSketchDetector()
+
+
+def _stub(name: str, needs: str):
+    def factory():
+        raise NotImplementedError(
+            f"annotator {name!r} requires {needs}; its Flax port is scheduled "
+            f"for a later round (reference: annotator/{name})"
+        )
+
+    return factory
+
+
+for _name, _needs in {
+    "depth": "MiDaS DPT weights",
+    "zoe": "ZoeDepth weights",
+    "normal": "MiDaS normal-from-depth",
+    "normalbae": "NormalBAE weights",
+    "openpose": "OpenPose body/hand/face weights",
+    "seg": "UniFormer/UperNet weights",
+    "seg_ofcoco": "OneFormer COCO weights",
+    "seg_ofade20k": "OneFormer ADE20k weights",
+    "densepose": "detectron2 DensePose",
+    "bbox": "YOLO/cvlib",
+    "mlsd": "MobileV2-MLSD weights",
+    "lineart": "informative-drawings generator weights",
+    "lineart_anime": "anime lineart UNet weights",
+    "lineart_anime_with_color_prompt": "anime lineart UNet weights",
+    "pidinet": "PiDiNet weights",
+}.items():
+    _FACTORIES.setdefault(_name, _stub(_name, _needs))
