@@ -18,6 +18,10 @@ import argparse
 import json
 import time
 
+from ctrlora_tpu.utils.platform import ensure_platform_from_env
+
+ensure_platform_from_env()
+
 import jax
 import jax.numpy as jnp
 
@@ -59,13 +63,17 @@ def bench_sampling(args) -> dict:
         )
         return pipe.decode_first_stage(params, z)
 
+    import numpy as np
+
     rng = jax.random.PRNGKey(1)
-    out = jax.block_until_ready(sample(params, hint, ids, rng))  # compile+warm
+    # warm up + force a REAL host transfer: on remote-execution backends
+    # block_until_ready alone can return before the computation ran
+    np.asarray(sample(params, hint, ids, rng))
     t0 = time.perf_counter()
     n_rep = args.reps
-    for i in range(n_rep):
-        out = sample(params, hint, ids, jax.random.fold_in(rng, i))
-    jax.block_until_ready(out)
+    outs = [sample(params, hint, ids, jax.random.fold_in(rng, i)) for i in range(n_rep)]
+    for o in outs:
+        np.asarray(o)
     dt = (time.perf_counter() - t0) / n_rep
     img_per_sec = batch / dt
     return {
@@ -101,11 +109,11 @@ def bench_train(args) -> dict:
     }
     rng = jax.random.PRNGKey(2)
     state, m = step(state, batch_data, rng)
-    jax.block_until_ready(m["loss"])  # compile+warm
+    float(m["loss"])  # compile+warm, forced host transfer
     t0 = time.perf_counter()
     for _ in range(args.reps):
         state, m = step(state, batch_data, rng)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # the step chain is sequential on state
     dt = (time.perf_counter() - t0) / args.reps
     return {
         "metric": f"rank-128 lora finetune step b{batch} {size}x{size}",

@@ -283,6 +283,7 @@ _PRESETS = {
     "ctrlora_pretrain": ctrlora_pretrain_config,
     "ctrlora_finetune": ctrlora_finetune_config,
     "ctrlora_inference": ctrlora_inference_config,
+    "tiny": tiny_test_config,  # CPU-sized model for tests/smoke runs
 }
 
 

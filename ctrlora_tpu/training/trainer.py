@@ -1,0 +1,163 @@
+"""Training loop: mesh setup, metrics logging, periodic checkpoints and
+image logging.
+
+Covers what the reference delegates to PyTorch Lightning + callbacks
+(pl.Trainer in scripts/train_ctrlora_*.py, ImageLogger/CheckpointEveryNSteps
+in cldm/logger.py): step loop, loss logging, step-frequency checkpointing
+(params + optimizer state via orbax), and periodic sample grids.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ctrlora_tpu.configs import TrainConfig
+from ctrlora_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+from ctrlora_tpu.pipeline import Conditioning, CtrLoraPipeline
+from ctrlora_tpu.training.step import make_train_step
+from ctrlora_tpu.training.train_state import TrainState, count_trainable, create_train_state
+
+
+class Trainer:
+    def __init__(
+        self,
+        pipe: CtrLoraPipeline,
+        cfg: TrainConfig,
+        workdir: str,
+        params=None,
+        use_mesh: bool = True,
+    ):
+        self.pipe = pipe
+        self.cfg = cfg
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        os.makedirs(os.path.join(workdir, "image_log"), exist_ok=True)
+        params = params if params is not None else pipe.init(jax.random.PRNGKey(cfg.seed))
+        self.state, self.tx, self.mask = create_train_state(params, cfg)
+        self.step_fn = make_train_step(pipe, self.tx, cfg)
+        self.mesh = create_mesh() if use_mesh else None
+        if self.mesh is not None:
+            self.state = replicate(self.mesh, self.state)
+        n_train = count_trainable(self.state.params, self.mask)
+        self._log_host(
+            {"event": "init", "trainable_params_m": round(n_train / 1e6, 2),
+             "devices": jax.device_count()}
+        )
+        # trainable-params audit file (reference writes ./tmp/*_trainable_params.txt,
+        # cldm_ctrlora_finetune.py:87)
+        with open(os.path.join(workdir, "trainable_params.txt"), "w") as f:
+            for path, m in jax.tree_util.tree_leaves_with_path(self.mask):
+                if m:
+                    f.write(jax.tree_util.keystr(path) + "\n")
+
+    def _log_host(self, d: dict) -> None:
+        if jax.process_index() != 0:
+            return
+        d.setdefault("time", round(time.time(), 2))
+        line = json.dumps(d)
+        print(line, flush=True)
+        with open(os.path.join(self.workdir, "metrics.jsonl"), "a") as f:
+            f.write(line + "\n")
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        batches: Iterable[dict],
+        max_steps: Optional[int] = None,
+        sample_hook: Optional[Callable[[TrainState, int], None]] = None,
+    ) -> TrainState:
+        cfg = self.cfg
+        max_steps = max_steps or cfg.max_steps
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        t0 = time.perf_counter()
+        window = []
+        for batch in batches:
+            step = int(self.state.step)
+            if step >= max_steps:
+                break
+            if self.mesh is not None:
+                batch = shard_batch(self.mesh, batch)
+            self.state, metrics = self.step_fn(self.state, batch, rng)
+            window.append(metrics)
+            step += 1
+            if step % cfg.log_every == 0:
+                m = {
+                    k: round(float(np.mean([float(w[k]) for w in window])), 5)
+                    for k in window[0]
+                }
+                dt = time.perf_counter() - t0
+                self._log_host(
+                    {"event": "train", "step": step,
+                     "steps_per_sec": round(len(window) / dt, 3), **m}
+                )
+                window, t0 = [], time.perf_counter()
+            if step % cfg.ckpt_every == 0:
+                self.save(step)
+            if sample_hook is not None and step % cfg.image_log_every == 0:
+                sample_hook(self.state, step, batch)
+        return self.state
+
+    # ------------------------------------------------------------------
+    def save(self, step: int) -> str:
+        path = os.path.join(self.workdir, f"ckpt_{step:08d}")
+        save_train_state(path, self.state)
+        self._log_host({"event": "ckpt", "step": step, "path": path})
+        return path
+
+    def restore(self, path: str) -> None:
+        self.state = restore_train_state(path, self.state)
+
+
+def save_train_state(path: str, state: TrainState) -> None:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_train_state(path: str, template: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), template)
+
+
+def make_image_log_hook(pipe: CtrLoraPipeline, workdir: str, ddim_steps: int = 20):
+    """Periodic sample grid (role of ImageLogger, cldm/logger.py:12-78)."""
+    from ctrlora_tpu.sampling.ddim import DDIMConfig, ddim_sample
+
+    def hook(state: TrainState, step: int, batch: dict) -> None:
+        from PIL import Image
+
+        params = state.params
+        B = min(2, batch["jpg"].shape[0])
+        ids = jnp.asarray(batch["token_ids"][:B])
+        ctx = pipe.encode_text_tokens(params, ids)
+        unc = pipe.encode_text_tokens(params, jnp.zeros_like(ids))
+        hint = jnp.asarray(batch["hint"][:B])
+        hz = pipe.encode_first_stage(params, hint)
+        task = batch.get("task_idx")
+        conds = [Conditioning(hz, lora_idx=jnp.int32(int(task[0])) if task is not None else None)]
+        f = 2 ** (len(pipe.cfg.vae.ch_mult) - 1)
+        h, w = hint.shape[1] // f, hint.shape[2] // f
+        z = ddim_sample(
+            pipe, params, jax.random.PRNGKey(step), ctx, unc, conds,
+            (B, h, w, 4), DDIMConfig(steps=ddim_steps, guidance_scale=9.0),
+        )
+        img = pipe.decode_first_stage(params, z)
+        img = np.asarray(jnp.clip(img * 127.5 + 127.5, 0, 255)).astype(np.uint8)
+        hint_u8 = (np.asarray(hint) * 255).astype(np.uint8)
+        row = np.concatenate([np.concatenate([h_, i_], axis=1) for h_, i_ in zip(hint_u8, img)], axis=0)
+        Image.fromarray(row).save(
+            os.path.join(workdir, "image_log", f"step_{step:08d}.png")
+        )
+
+    return hook

@@ -377,13 +377,19 @@ def export_tree(
 ) -> Dict[str, np.ndarray]:
     """Flax tree -> torch-named state dict (inverse of convert_tree)."""
     p = params.get("params", params)
+    expected_ndim = {T_LINEAR_W: 2, T_CONV_W: 4}
     out: Dict[str, np.ndarray] = {}
     for tkey, fpath, kind in entries:
         try:
             v = _get(p, fpath)
         except KeyError:
             continue
-        out[prefix + tkey] = _inv(kind, np.asarray(v, np.float32))
+        v = np.asarray(v, np.float32)
+        want = expected_ndim.get(kind)
+        if want is not None and v.ndim != want:
+            # banked (switchable) param: export slot 0 as the base weight
+            v = v[0]
+        out[prefix + tkey] = _inv(kind, v)
     return out
 
 
@@ -472,3 +478,52 @@ def tree_to_mutable(tree) -> dict:
     if isinstance(tree, dict):
         return {k: tree_to_mutable(v) for k, v in tree.items()}
     return np.array(tree, dtype=np.float32, copy=True)
+
+
+def export_lora_slot(
+    control_params: dict,
+    cfg: ControlNetConfig,
+    slot: int = 0,
+    prefix: str = "control_model.",
+) -> Dict[str, np.ndarray]:
+    """Export one LoRA slot to the reference's finetune/module key format
+    (the format tool_extract_weights.py produces and api.py consumes):
+    lora matrices + zero convs + transformer norms."""
+    p = control_params.get("params", control_params)
+    out: Dict[str, np.ndarray] = {}
+    for tpath, fpath in lora_site_entries(cfg):
+        node = _get(p, fpath)
+        if "lora_down" not in node:
+            continue
+        down = np.asarray(node["lora_down"], np.float32)
+        up = np.asarray(node["lora_up"], np.float32)
+        if down.ndim == 3:
+            down, up = down[slot], up[slot]
+        out[f"{prefix}{tpath}.lora_layer.down.weight"] = np.ascontiguousarray(down.T)
+        out[f"{prefix}{tpath}.lora_layer.up.weight"] = np.ascontiguousarray(up.T)
+    for tpath, fpath in zero_conv_site_entries(cfg):
+        node = _get(p, fpath)
+        k = np.asarray(node["kernel"], np.float32)
+        b = np.asarray(node["bias"], np.float32)
+        if k.ndim == 5:
+            k, b = k[slot], b[slot]
+        out[f"{prefix}{tpath}.weight"] = _inv(T_CONV_W, k)
+        out[f"{prefix}{tpath}.bias"] = b
+    for tpath, fpath in norm_site_entries(cfg):
+        node = _get(p, fpath)
+        s = np.asarray(node["scale"], np.float32)
+        b = np.asarray(node["bias"], np.float32)
+        if s.ndim == 2:
+            s, b = s[slot], b[slot]
+        out[f"{prefix}{tpath}.weight"] = s
+        out[f"{prefix}{tpath}.bias"] = b
+    return out
+
+
+def export_control_base(
+    control_params: dict, cfg: ControlNetConfig, prefix: str = "control_model."
+) -> Dict[str, np.ndarray]:
+    """Export the control branch base weights (incl. zero convs/norms of
+    slot 0, excl. LoRA matrices) in reference key format — the analogue of
+    tool_extract_weights.py -t control."""
+    return export_tree(control_params, controlnet_entries(cfg), prefix=prefix)

@@ -1,0 +1,30 @@
+"""Platform selection helper.
+
+Some TPU environments install a sitecustomize that force-registers their TPU
+backend and overrides jax_platforms at interpreter start, which makes the
+JAX_PLATFORMS env var silently ineffective. Calling this before any backend
+initialization re-applies the user's env choice.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def ensure_platform_from_env(default: str | None = None) -> None:
+    want = os.environ.get("CTRLORA_PLATFORM") or os.environ.get("JAX_PLATFORMS") or default
+    if not want:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", want)
+    except Exception:
+        pass
+    if want == "cpu":
+        n = os.environ.get("CTRLORA_CPU_DEVICES")
+        if n:
+            try:
+                jax.config.update("jax_num_cpu_devices", int(n))
+            except Exception:
+                pass
