@@ -59,11 +59,15 @@ class CtrLoRA:
     def _get_sampler(self, shape_key):
         if self._sample_fn is None or self._sample_key != shape_key:
             pipe = self.pipe
-            n_loras, B, H, W, steps, scale = shape_key
-            ddim = DDIMConfig(steps=steps, guidance_scale=scale, eta=0.0)
+            n_loras, B, H, W, steps, scale, eta, guess_mode = shape_key
+            ddim = DDIMConfig(
+                steps=steps, guidance_scale=scale, eta=eta, guess_mode=guess_mode
+            )
+            f = 2 ** (len(self.cfg.vae.ch_mult) - 1)
 
             @jax.jit
-            def fn(params, hints, token_ids, n_token_ids, lora_weights, rng):
+            def fn(params, hints, token_ids, n_token_ids, lora_weights,
+                   control_scales, rng):
                 ctx = pipe.encode_text_tokens(params, token_ids)
                 unc = pipe.encode_text_tokens(params, n_token_ids)
                 conds = []
@@ -74,7 +78,7 @@ class CtrLoRA:
                     )
                 z = ddim_sample(
                     pipe, params, rng, ctx, unc, conds,
-                    (B, H // 8, W // 8, 4), ddim,
+                    (B, H // f, W // f, 4), ddim, control_scales=control_scales,
                 )
                 img = pipe.decode_first_stage(params, z)
                 return jnp.clip(img * 127.5 + 127.5, 0, 255).astype(jnp.uint8)
@@ -112,7 +116,8 @@ class CtrLoRA:
 
     def _sample_images(
         self, images, prompt, n_prompt, num_samples, ddim_steps, scale,
-        lora_weights, seed,
+        lora_weights, seed, eta: float = 0.0, guess_mode: bool = False,
+        control_scales=None,
     ):
         from ctrlora_tpu.utils.tokenizer import default_tokenizer
 
@@ -129,10 +134,19 @@ class CtrLoRA:
         ids = jnp.asarray(np.repeat(tok([prompt]), num_samples, axis=0))
         nids = jnp.asarray(np.repeat(tok([n_prompt]), num_samples, axis=0))
         weights = jnp.asarray(lora_weights[: self.num_loras], jnp.float32)
+        taps = self.pipe.n_control_taps
+        if control_scales is None:
+            control_scales = jnp.ones((taps,), jnp.float32)
+        else:
+            control_scales = jnp.asarray(control_scales, jnp.float32)
         fn = self._get_sampler(
-            (self.num_loras, num_samples, H, W, ddim_steps, float(scale))
+            (self.num_loras, num_samples, H, W, ddim_steps, float(scale),
+             float(eta), bool(guess_mode))
         )
-        out = fn(self.params, hints, ids, nids, weights, jax.random.PRNGKey(seed))
+        out = fn(
+            self.params, hints, ids, nids, weights, control_scales,
+            jax.random.PRNGKey(seed),
+        )
         out = np.asarray(out)
         return [Image.fromarray(out[i]) for i in range(num_samples)]
 

@@ -184,13 +184,31 @@ class CtrLoraPipeline:
         context: jnp.ndarray,
         conds: Optional[Sequence[Conditioning]] = None,
         control_scales: Optional[jnp.ndarray] = None,
+        ip_context: Optional[jnp.ndarray] = None,
+        control_batch_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        """Predict model output (eps by default) for noisy latents."""
+        """Predict model output (eps by default) for noisy latents.
+
+        ip_context [B, ip_tokens, D]: image-prompt tokens appended to the
+        UNet's cross-attention context only — the control branch sees just
+        the text context (reference: cldm_ctrlora_style_inference.py:163-187).
+        control_batch_mask [B]: per-example control on/off — guess mode runs
+        the uncond half of a CFG batch without control (reference:
+        app/gradio_ctrlora.py:308 un_cond c_concat=None).
+        """
         control = None
         if conds:
             control = self.apply_control(
                 params, x_noisy, t, context, conds, control_scales
             )
+            if control_batch_mask is not None:
+                m = control_batch_mask.reshape(-1, 1, 1, 1)
+                control = tuple(c * m.astype(c.dtype) for c in control)
+        if ip_context is not None:
+            assert self.cfg.unet.ip_tokens == ip_context.shape[1], (
+                f"unet expects {self.cfg.unet.ip_tokens} ip tokens"
+            )
+            context = jnp.concatenate([context, ip_context.astype(context.dtype)], axis=1)
         return self.unet.apply(
             params.unet, x_noisy, t, context,
             control=control, only_mid_control=self.cfg.diffusion.only_mid_control,

@@ -33,6 +33,9 @@ class DDIMConfig:
     eta: float = 0.0
     guidance_scale: float = 7.5
     temperature: float = 1.0
+    # guess mode: the uncond CFG pass runs WITHOUT control (reference:
+    # app/gradio_ctrlora.py:308); combine with decayed control_scales
+    guess_mode: bool = False
     # per-step guidance scales overriding guidance_scale (e.g. guess mode);
     # indexed in sampling order (t descending)
     ucg_schedule: Optional[Sequence[float]] = None
@@ -52,6 +55,7 @@ def ddim_sample(
     mask: Optional[jnp.ndarray] = None,  # [B,h,w,c] 1=keep x0 region
     x0: Optional[jnp.ndarray] = None,
     ddim_schedule: Optional[DDIMSchedule] = None,
+    ip_context: Optional[jnp.ndarray] = None,  # [B, ip_tokens, D]
 ) -> jnp.ndarray:
     """Returns final latents [B, h, w, c]. Jit-compatible (wrap in jax.jit
     with pipe/cfg static or close over them)."""
@@ -81,9 +85,15 @@ def ddim_sample(
             if conds
             else None
         )
+        full_ip = (
+            jnp.concatenate([ip_context, ip_context], axis=0)
+            if ip_context is not None
+            else None
+        )
     else:
         full_context = context
         full_conds = conds
+        full_ip = ip_context
 
     # tables gathered per scan step, ordered t-descending
     order = jnp.arange(dd.num_steps - 1, -1, -1)
@@ -106,12 +116,21 @@ def ddim_sample(
         tvec = jnp.full((x.shape[0],), t_scalar, jnp.int32)
         if use_cfg:
             x2 = jnp.concatenate([x, x], axis=0)
+            cmask = None
+            if cfg.guess_mode:
+                cmask = jnp.concatenate(
+                    [jnp.ones((B,), jnp.float32), jnp.zeros((B,), jnp.float32)]
+                )
             out = pipe.apply_model(
                 params, x2, jnp.concatenate([tvec, tvec]), full_context,
-                full_conds, control_scales,
+                full_conds, control_scales, ip_context=full_ip,
+                control_batch_mask=cmask,
             )
             return out[:B], out[B:]
-        out = pipe.apply_model(params, x, tvec, full_context, full_conds, control_scales)
+        out = pipe.apply_model(
+            params, x, tvec, full_context, full_conds, control_scales,
+            ip_context=full_ip,
+        )
         return out, None
 
     def step(carry, inputs):
@@ -178,6 +197,7 @@ def ddim_decode_from(
     cfg: DDIMConfig,
     rng: jax.Array,
     control_scales: Optional[jnp.ndarray] = None,
+    ip_context: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """DDIM decode starting from an intermediate step (reference:
     ddim_hacked.py:297-317). Runs the first t_start steps of the ladder."""
@@ -193,4 +213,5 @@ def ddim_decode_from(
         pipe, params, rng, context, uncond_context, conds,
         x_latent.shape, dataclasses.replace(cfg, steps=t_start),
         control_scales=control_scales, x_T=x_latent, ddim_schedule=sub,
+        ip_context=ip_context,
     )
