@@ -80,6 +80,34 @@ def _hedsketch():
     return HEDSketchDetector()
 
 
+@register("lineart")
+def _lineart():
+    from ctrlora_tpu.annotators.lineart import LineartDetector
+
+    return LineartDetector()
+
+
+@register("lineart_anime")
+def _lineart_anime():
+    from ctrlora_tpu.annotators.lineart import LineartAnimeDetector
+
+    return LineartAnimeDetector()
+
+
+@register("lineart_anime_with_color_prompt")
+def _lineart_anime_color():
+    from ctrlora_tpu.annotators.lineart import LineartAnimeWithColorPromptDetector
+
+    return LineartAnimeWithColorPromptDetector()
+
+
+@register("mlsd")
+def _mlsd():
+    from ctrlora_tpu.annotators.mlsd import MLSDdetector
+
+    return MLSDdetector()
+
+
 def _stub(name: str, needs: str):
     def factory():
         raise NotImplementedError(
