@@ -118,11 +118,16 @@ class UNet(nn.Module):
         context: jnp.ndarray,  # [B, S, context_dim]
         control: Optional[Sequence[jnp.ndarray]] = None,
         only_mid_control: bool = False,
+        control_mode: str = "decoder",
     ) -> jnp.ndarray:
+        """control_mode='decoder': residuals add onto skip connections and
+        middle (standard ControlNet, cldm/cldm.py:22-45). 'encoder': residuals
+        add onto encoder outputs (ControlNet-Lite, cldm/cldm_lite.py:20-42)."""
         cfg = self.cfg
         dt = cfg.compute_dtype
         emb = TimestepEmbed(cfg.model_channels, dtype=dt, name="time_embed")(timesteps)
         context = context.astype(dt)
+        enc_side = control is not None and control_mode == "encoder"
 
         hs = []
         h = x.astype(dt)
@@ -135,6 +140,8 @@ class UNet(nn.Module):
                     h = _attn(cfg, step.out_ch, None, f"in_{i}_attn")(h, context, None)
             else:
                 h = Downsample(step.out_ch, dtype=dt, name=f"in_{i}_down")(h)
+            if enc_side:
+                h = h + control[i].astype(dt)
             hs.append(h)
 
         ch = hs[-1].shape[-1]
@@ -151,7 +158,7 @@ class UNet(nn.Module):
 
         for i, step in enumerate(decoder_plan(cfg)):
             skip = hs.pop()
-            if control is not None and not only_mid_control:
+            if control is not None and not only_mid_control and not enc_side:
                 skip = skip + control[n_enc - 1 - i].astype(dt)
             h = jnp.concatenate([h, skip], axis=-1)
             h = _res(cfg, step.out_ch, None, f"out_{i}_res")(h, emb, None)
