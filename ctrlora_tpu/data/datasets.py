@@ -61,6 +61,17 @@ def imread_rgb(path: str) -> Optional[np.ndarray]:
         return None
 
 
+def _use_native() -> bool:
+    """Opt-in fused C++ transforms (CTRLORA_NATIVE_DATA=1). Resize kernels
+    are area/bilinear rather than the reference's LANCZOS4 upscale — visually
+    indistinguishable for training data, so opt-in rather than default."""
+    if not os.environ.get("CTRLORA_NATIVE_DATA"):
+        return False
+    from ctrlora_tpu.data import native
+
+    return native.available(build=True)
+
+
 def _resize(img: np.ndarray, size: int, up: bool) -> np.ndarray:
     if _HAS_CV2:
         interp = cv2.INTER_LANCZOS4 if up else cv2.INTER_AREA
@@ -103,6 +114,19 @@ class CustomDataset:
         prompt = item["prompt"]
         if rng.random() < self.drop_rate:
             prompt = ""
+        if self.resolution is not None and _use_native():
+            # fused C++ crop+resize+normalize (native/image_ops.cpp)
+            from ctrlora_tpu.data import native
+
+            r = self.resolution
+            hint = native.resize_norm(
+                source, (0, 0, *source.shape[:2]), (r, r), 1 / 255.0, 0.0
+            )
+            jpg = native.resize_norm(
+                target, (0, 0, *target.shape[:2]), (r, r), 1 / 127.5, -1.0
+            )
+            if hint is not None and jpg is not None:
+                return dict(jpg=jpg, txt=prompt, hint=hint)
         if self.resolution is not None:
             source = _resize(source, self.resolution, source.shape[0] < self.resolution)
             target = _resize(target, self.resolution, target.shape[0] < self.resolution)
