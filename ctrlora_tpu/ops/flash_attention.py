@@ -1,17 +1,22 @@
-"""Pallas TPU flash attention (forward) with an XLA-recompute backward.
+"""Pallas TPU flash attention, forward + backward (FlashAttention-2 style).
 
 Replaces the reference's three memory strategies — sliced attention
 (cldm/hack.py:72-111), xformers memory-efficient attention
-(ldm/modules/attention.py:197-243) and plain O(S^2) softmax — with a single
-online-softmax kernel that never materializes the [Sq, Sk] logits in HBM.
+(ldm/modules/attention.py:197-243) and plain O(S^2) softmax — with online-
+softmax kernels that never materialize the [Sq, Sk] logits in HBM, in either
+direction.
 
 Shapes: q [B, H, Sq, D], k/v [B, H, Sk, D], unmasked full attention (SD's
 spatial self-attention is unmasked). D may be non-128-aligned (SD1.5 uses
 head dims 40/80/160); Mosaic pads lanes transparently.
 
-The backward pass recomputes attention with the XLA path and differentiates
-that — exact same math, so gradients are correct; a fused Pallas backward is
-a later optimization.
+The forward also emits the per-row logsumexp; the backward recomputes
+probabilities streamingly from it (no saved attention matrix):
+    D  = rowsum(dO * O)
+    P  = exp(QK^T * scale - L)
+    dV = P^T dO ;  dS = P * (dO V^T - D) ;  dQ = scale * dS K ;  dK = scale * dS^T Q
+
+Kernels run in interpret mode off-TPU so the math is testable on CPU.
 """
 
 from __future__ import annotations
@@ -32,20 +37,22 @@ except Exception:  # pragma: no cover
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, sk: int):
-    """One (batch*head, q-block) program: online softmax over k chunks."""
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk):
     q = q_ref[0].astype(jnp.float32) * scale  # [bq, D]
-    bq = q.shape[0]
-    d = q.shape[1]
+    bq, d = q.shape
     num_k = sk // block_k
 
     def body(i, carry):
         acc, m, l = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)  # [bk, D]
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)  # [bk, D]
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [bq, bk]
+        )
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -60,14 +67,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, sk:
     l = jnp.zeros((bq, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc, m, l))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l))[:, 0]
 
 
 def _pick_block(size: int, preferred: int = 512) -> Optional[int]:
-    """Largest power-of-two-ish divisor of `size` that is <= preferred and >= 128."""
     for cand in (preferred, 256, 128):
         if cand <= size and size % cand == 0:
             return cand
     return None
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
 
 
 def _flash_forward(q, k, v, scale):
@@ -77,23 +88,152 @@ def _flash_forward(q, k, v, scale):
     block_k = _pick_block(sk)
     assert block_q is not None and block_k is not None
     g = b * h
-    qf = q.reshape(g, sq, d)
-    kf = k.reshape(g, sk, d)
-    vf = v.reshape(g, sk, d)
-    grid = (g, sq // block_q)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, block_k=block_k, sk=sk),
-        grid=grid,
+    qf, kf, vf = (t.reshape(g, t.shape[2], d) for t in (q, k, v))
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, block_k=block_k, sk=sk),
+        grid=(g, sq // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((g, sq, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_q), lambda i, j: (i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((g, sq), jnp.float32),
+        ],
+        interpret=_interpret(),
     )(qf, kf, vf)
-    return out.reshape(b, h, sq, d)
+    return out.reshape(b, h, sq, d), lse.reshape(b, h, sq)
 
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   *, scale, block_k, sk):
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, None]
+    delta = delta_ref[0][:, None]
+    bq, d = q.shape
+    num_k = sk // block_k
+
+    def body(i, dq):
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    dq = jax.lax.fori_loop(0, num_k, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, scale, block_q, sq):
+    k = k_ref[0].astype(jnp.float32)  # [bk, D]
+    v = v_ref[0].astype(jnp.float32)
+    bk, d = k.shape
+    num_q = sq // block_q
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        delta = delta_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [bq, bk]
+        p = jnp.exp(s - lse)
+        dv = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)  # [bq, bk]
+        dk = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk, dv
+
+    dk = jnp.zeros((bk, d), jnp.float32)
+    dv = jnp.zeros((bk, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_q, body, (dk, dv))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(scale, res, g):
+    q, k, v, out, lse = res
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    block_q = _pick_block(sq)
+    block_k = _pick_block(sk)
+    gb = b * h
+    qf, kf, vf, of, gf = (t.reshape(gb, t.shape[2], d) for t in (q, k, v, out, g))
+    lsef = lse.reshape(gb, sq)
+    delta = jnp.sum(of.astype(jnp.float32) * gf.astype(jnp.float32), axis=-1)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k, sk=sk),
+        grid=(gb, sq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_q), lambda i, j: (i, j)),
+            pl.BlockSpec((1, block_q), lambda i, j: (i, j)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((gb, sq, d), q.dtype),
+        interpret=_interpret(),
+    )(qf, kf, vf, gf, lsef, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, block_q=block_q, sq=sq),
+        grid=(gb, sk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, sq, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, sq, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, sq), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, sq), lambda i, j: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((gb, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((gb, sk, d), v.dtype),
+        ],
+        interpret=_interpret(),
+    )(qf, kf, vf, gf, lsef, delta)
+
+    rs = lambda t, s: t.reshape(b, h, s, d)
+    return rs(dq, sq), rs(dk, sk), rs(dv, sk)
+
+
+# ---------------------------------------------------------------------------
+# public entry points
+# ---------------------------------------------------------------------------
 
 def xla_attention(q, k, v, scale):
     """Reference attention: fp32 logits+softmax (ATTN_PRECISION=fp32 path,
@@ -110,20 +250,15 @@ def xla_attention(q, k, v, scale):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash_attention(q, k, v, scale):
-    return _flash_forward(q, k, v, scale)
+    return _flash_forward(q, k, v, scale)[0]
 
 
 def _flash_fwd(q, k, v, scale):
-    return _flash_forward(q, k, v, scale), (q, k, v)
+    out, lse = _flash_forward(q, k, v, scale)
+    return out, (q, k, v, out, lse)
 
 
-def _flash_bwd(scale, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: xla_attention(q, k, v, scale), q, k, v)
-    return vjp(g)
-
-
-_flash_attention.defvjp(_flash_fwd, _flash_bwd)
+_flash_attention.defvjp(_flash_fwd, _flash_backward)
 
 
 def _on_tpu() -> bool:
@@ -131,6 +266,13 @@ def _on_tpu() -> bool:
         return jax.default_backend() not in ("cpu",) and pltpu is not None
     except Exception:  # pragma: no cover
         return False
+
+
+def flash_attention(q, k, v, scale=None):
+    """Direct flash entry (interpret mode off-TPU) — used by tests."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    return _flash_attention(q, k, v, scale)
 
 
 def dot_product_attention(
@@ -142,7 +284,7 @@ def dot_product_attention(
 ) -> jnp.ndarray:
     """Multi-head attention over [B, H, S, D] tensors, unmasked.
 
-    Dispatches to the Pallas flash kernel when on TPU and the sequence
+    Dispatches to the Pallas flash kernels when on TPU and the sequence
     geometry tiles cleanly; otherwise the fp32-softmax XLA path.
     """
     if scale is None:

@@ -1,0 +1,59 @@
+"""Flash attention forward+backward vs the XLA reference (interpret mode on
+CPU; the same kernels compile on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ctrlora_tpu.ops.flash_attention import flash_attention, xla_attention
+
+
+SHAPES = [
+    (1, 2, 256, 40, 256),   # SD self-attn head dim
+    (1, 1, 128, 64, 384),   # rectangular q/k
+    (2, 2, 256, 16, 128),
+]
+
+
+@pytest.mark.parametrize("b,h,sq,d,sk", SHAPES)
+def test_forward_matches_xla(b, h, sq, d, sk):
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, h, sq, d))
+    k = jax.random.normal(ks[1], (b, h, sk, d))
+    v = jax.random.normal(ks[2], (b, h, sk, d))
+    out = flash_attention(q, k, v)
+    ref = xla_attention(q, k, v, d**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_backward_matches_xla():
+    b, h, sq, d, sk = 1, 2, 256, 32, 256
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    q = jax.random.normal(ks[0], (b, h, sq, d))
+    k = jax.random.normal(ks[1], (b, h, sk, d))
+    v = jax.random.normal(ks[2], (b, h, sk, d))
+    ct = jax.random.normal(ks[3], (b, h, sq, d))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) * ct)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, d**-0.5) * ct)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5, rtol=1e-3)
+
+
+def test_backward_bf16_stable():
+    b, h, sq, d, sk = 1, 1, 256, 40, 256
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(ks[0], (b, h, sq, d), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, h, sk, d), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, h, sk, d), jnp.bfloat16)
+
+    g = jax.grad(lambda q: jnp.sum(flash_attention(q, k, v).astype(jnp.float32)))(q)
+    assert np.isfinite(np.asarray(g, np.float32)).all()
