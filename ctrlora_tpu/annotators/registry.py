@@ -108,6 +108,13 @@ def _mlsd():
     return MLSDdetector()
 
 
+@register("openpose")
+def _openpose():
+    from ctrlora_tpu.annotators.openpose import OpenposeDetector
+
+    return OpenposeDetector()
+
+
 def _stub(name: str, needs: str):
     def factory():
         raise NotImplementedError(

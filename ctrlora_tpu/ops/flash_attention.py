@@ -67,7 +67,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk):
     l = jnp.zeros((bq, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc, m, l))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l))[:, 0]
+    lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
 
 
 def _pick_block(size: int, preferred: int = 512) -> Optional[int]:
@@ -99,11 +99,11 @@ def _flash_forward(q, k, v, scale):
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, block_q), lambda i, j: (i, j)),
+            pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((g, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((g, sq), jnp.float32),
+            jax.ShapeDtypeStruct((g, 1, sq), jnp.float32),
         ],
         interpret=_interpret(),
     )(qf, kf, vf)
@@ -118,8 +118,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                    *, scale, block_k, sk):
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
     bq, d = q.shape
     num_k = sk // block_k
 
@@ -153,8 +153,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk, dv = carry
         q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(i * block_q, block_q)][:, None]
-        delta = delta_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [bq, bk]
@@ -186,8 +186,8 @@ def _flash_backward(scale, res, g):
     block_k = _pick_block(sk)
     gb = b * h
     qf, kf, vf, of, gf = (t.reshape(gb, t.shape[2], d) for t in (q, k, v, out, g))
-    lsef = lse.reshape(gb, sq)
-    delta = jnp.sum(of.astype(jnp.float32) * gf.astype(jnp.float32), axis=-1)
+    lsef = lse.reshape(gb, 1, sq)
+    delta = jnp.sum(of.astype(jnp.float32) * gf.astype(jnp.float32), axis=-1)[:, None, :]
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k, sk=sk),
@@ -197,8 +197,8 @@ def _flash_backward(scale, res, g):
             pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, block_q), lambda i, j: (i, j)),
-            pl.BlockSpec((1, block_q), lambda i, j: (i, j)),
+            pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((gb, sq, d), q.dtype),
@@ -213,8 +213,8 @@ def _flash_backward(scale, res, g):
             pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, sq, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, sq), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, sq), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 1, sq), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, sq), lambda i, j: (i, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
@@ -290,8 +290,11 @@ def dot_product_attention(
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     sq, sk = q.shape[2], k.shape[2]
+    import os
+
     flash_ok = (
         use_flash
+        and not os.environ.get("CTRLORA_NO_FLASH")
         and _on_tpu()
         and sk >= 256
         and _pick_block(sq) is not None

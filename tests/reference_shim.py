@@ -50,8 +50,33 @@ def install_shims():
         tvu = _module("torchvision.utils")
         tvu.make_grid = lambda *a, **k: a[0]
         tv.utils = tvu
+        tvt = _module("torchvision.transforms")
+        tvt.ToTensor = object
+        tvt.ToPILImage = object
+        tv.transforms = tvt
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.utils"] = tvu
+        sys.modules["torchvision.transforms"] = tvt
+    if "skimage" not in sys.modules:
+        try:
+            import skimage  # noqa: F401
+        except ImportError:
+            sk = _module("skimage")
+            skm = _module("skimage.measure")
+
+            def _label(binary, return_num=False, connectivity=None):
+                import cv2
+                import numpy as np
+
+                n, labels = cv2.connectedComponents(
+                    binary.astype("uint8"), connectivity=8
+                )
+                return (labels, n - 1) if return_num else labels
+
+            skm.label = _label
+            sk.measure = skm
+            sys.modules["skimage"] = sk
+            sys.modules["skimage.measure"] = skm
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
 
