@@ -83,6 +83,9 @@ class ControlNetConfig:
     hint_channels: int = 3
     hint_mode: str = "latent"
     lora: LoRAConfig = dataclasses.field(default_factory=LoRAConfig)
+    # 'controlnet' (decoder-side residuals) or 'lite' (attention-free branch,
+    # encoder-side residuals; reference cldm/cldm_lite.py)
+    variant: str = "controlnet"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -206,6 +209,16 @@ def sd15_config() -> ModelConfig:
     )
 
 
+def cnlite_config() -> ModelConfig:
+    """ControlNet-Lite baseline (reference: configs/cnlite_sd15.yaml)."""
+    return ModelConfig(
+        name="cnlite_sd15",
+        control=ControlNetConfig(
+            hint_mode="image", lora=LoRAConfig(n_loras=0), variant="lite"
+        ),
+    )
+
+
 def ctrlora_pretrain_config(
     tasks: Sequence[str] = MULTIGEN_TASKS, lora_rank: int = 128
 ) -> ModelConfig:
@@ -280,6 +293,7 @@ def tiny_test_config(
 
 _PRESETS = {
     "cldm_v15": sd15_config,
+    "cnlite_sd15": cnlite_config,
     "ctrlora_pretrain": ctrlora_pretrain_config,
     "ctrlora_finetune": ctrlora_finetune_config,
     "ctrlora_inference": ctrlora_inference_config,

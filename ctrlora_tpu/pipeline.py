@@ -56,7 +56,18 @@ class CtrLoraPipeline:
     def __init__(self, cfg: ModelConfig):
         self.cfg = cfg
         self.unet = UNet(cfg.unet)
-        self.control = ControlNet(cfg.control) if cfg.control is not None else None
+        self.control = None
+        self.control_mode = "decoder"
+        if cfg.control is not None:
+            if cfg.control.variant == "lite":
+                from ctrlora_tpu.models.lite import ControlNetLite
+
+                self.control = ControlNetLite(
+                    cfg.control.unet, hint_channels=cfg.control.hint_channels
+                )
+                self.control_mode = "encoder"
+            else:
+                self.control = ControlNet(cfg.control)
         self.vae = AutoencoderKL(cfg.vae)
         self.clip = CLIPTextModel(cfg.clip)
         self.schedule: DiffusionSchedule = make_schedule(
@@ -88,7 +99,10 @@ class CtrLoraPipeline:
         unet_params = self.unet.init(r1, x, t, ctx)
         control_params = None
         if self.control is not None:
-            if self.cfg.control.hint_mode == "image":
+            if self.cfg.control.variant == "lite":
+                hint = jnp.zeros((1, s * 8, s * 8, self.cfg.control.hint_channels))
+                control_params = self.control.init(r2, x, t, ctx, hint=hint)
+            elif self.cfg.control.hint_mode == "image":
                 hint = jnp.zeros((1, s * 8, s * 8, self.cfg.control.hint_channels))
                 control_params = self.control.init(
                     r2, x, t, ctx, hint=hint, lora_idx=jnp.int32(0)
@@ -161,7 +175,11 @@ class CtrLoraPipeline:
             control_scales = jnp.ones((n,), jnp.float32)
         total = None
         for cond in conds:
-            if self.cfg.control.hint_mode == "image":
+            if self.cfg.control.variant == "lite":
+                taps = self.control.apply(
+                    params.control, x_noisy, t, context, hint=cond.hint
+                )
+            elif self.cfg.control.hint_mode == "image":
                 taps = self.control.apply(
                     params.control, x_noisy, t, context,
                     hint=cond.hint, lora_idx=cond.lora_idx,
@@ -212,4 +230,5 @@ class CtrLoraPipeline:
         return self.unet.apply(
             params.unet, x_noisy, t, context,
             control=control, only_mid_control=self.cfg.diffusion.only_mid_control,
+            control_mode=self.control_mode,
         )

@@ -143,9 +143,12 @@ def make_image_log_hook(pipe: CtrLoraPipeline, workdir: str, ddim_steps: int = 2
         ctx = pipe.encode_text_tokens(params, ids)
         unc = pipe.encode_text_tokens(params, jnp.zeros_like(ids))
         hint = jnp.asarray(batch["hint"][:B])
-        hz = pipe.encode_first_stage(params, hint)
+        if pipe.cfg.control is not None and pipe.cfg.control.hint_mode == "latent":
+            hint_in = pipe.encode_first_stage(params, hint)
+        else:
+            hint_in = hint
         task = batch.get("task_idx")
-        conds = [Conditioning(hz, lora_idx=jnp.int32(int(task[0])) if task is not None else None)]
+        conds = [Conditioning(hint_in, lora_idx=jnp.int32(int(task[0])) if task is not None else None)]
         f = 2 ** (len(pipe.cfg.vae.ch_mult) - 1)
         h, w = hint.shape[1] // f, hint.shape[2] // f
         z = ddim_sample(

@@ -58,9 +58,13 @@ def load_basecn_into(
     else:
         raise ValueError(skip)
     sd = {k: v for k, v in sd.items() if k.startswith(pfx) and keep(k[len(pfx):])}
-    tree, _ = bridge.convert_tree(
-        sd, bridge.controlnet_entries(pipe.cfg.control), prefix=pfx, strict=False,
-    )
+    if pipe.cfg.control.variant == "lite":
+        from ctrlora_tpu.models.lite import lite_entries
+
+        entries = lite_entries(pipe.cfg.control.unet, pipe.cfg.control.hint_channels)
+    else:
+        entries = bridge.controlnet_entries(pipe.cfg.control)
+    tree, _ = bridge.convert_tree(sd, entries, prefix=pfx, strict=False)
     _merge(params_np["control"], tree)
 
 
