@@ -115,6 +115,13 @@ def _openpose():
     return OpenposeDetector()
 
 
+@register("pidinet")
+def _pidinet():
+    from ctrlora_tpu.annotators.pidinet import PidiNetDetector
+
+    return PidiNetDetector()
+
+
 def _stub(name: str, needs: str):
     def factory():
         raise NotImplementedError(

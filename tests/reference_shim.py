@@ -77,6 +77,16 @@ def install_shims():
             sk.measure = skm
             sys.modules["skimage"] = sk
             sys.modules["skimage.measure"] = skm
+    if "basicsr" not in sys.modules:
+        try:
+            import basicsr  # noqa: F401
+        except ImportError:
+            bs = _module("basicsr")
+            bsu = _module("basicsr.utils")
+            bsu.img2tensor = lambda x, **k: x
+            bs.utils = bsu
+            sys.modules["basicsr"] = bs
+            sys.modules["basicsr.utils"] = bsu
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
 
