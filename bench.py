@@ -47,17 +47,32 @@ def bench_sampling(args) -> dict:
     params = pipe.init(jax.random.PRNGKey(0), image_size=8)
     lat = size // (2 ** (len(cfg.vae.ch_mult) - 1))
 
+    # inference-path optimizations (both on by default): fold the LoRA into
+    # the base weights, and cast kernels to bf16 once outside the scan
+    from ctrlora_tpu.lora_fuse import cast_params_for_inference, fuse_control_tree
+
+    fused = None
+    if not args.no_fuse and cfg.control.lora.n_loras > 0:
+        fused = fuse_control_tree(params.control, 0, cfg.control.lora)
+    if not args.fp32_params:
+        params = cast_params_for_inference(params)
+        if fused is not None:
+            fused = cast_params_for_inference(fused)
+
     hint = jnp.ones((batch, size, size, 3), jnp.float32) * 0.5
     ids = jnp.ones((batch, cfg.clip.max_length), jnp.int32)
 
     ddim = DDIMConfig(steps=steps, guidance_scale=7.5)
 
     @jax.jit
-    def sample(params, hint, ids, rng):
+    def sample(params, fused, hint, ids, rng):
         ctx = pipe.encode_text_tokens(params, ids)
         uncond = pipe.encode_text_tokens(params, jnp.zeros_like(ids))
         hint_z = pipe.encode_first_stage(params, hint)
-        conds = [Conditioning(hint_z, lora_idx=jnp.int32(0))]
+        if fused is not None:
+            conds = [Conditioning(hint_z, control_params=fused)]
+        else:
+            conds = [Conditioning(hint_z, lora_idx=jnp.int32(0))]
         z = ddim_sample(
             pipe, params, rng, ctx, uncond, conds, (batch, lat, lat, 4), ddim
         )
@@ -68,10 +83,10 @@ def bench_sampling(args) -> dict:
     rng = jax.random.PRNGKey(1)
     # warm up + force a REAL host transfer: on remote-execution backends
     # block_until_ready alone can return before the computation ran
-    np.asarray(sample(params, hint, ids, rng))
+    np.asarray(sample(params, fused, hint, ids, rng))
     t0 = time.perf_counter()
     n_rep = args.reps
-    outs = [sample(params, hint, ids, jax.random.fold_in(rng, i)) for i in range(n_rep)]
+    outs = [sample(params, fused, hint, ids, jax.random.fold_in(rng, i)) for i in range(n_rep)]
     for o in outs:
         np.asarray(o)
     dt = (time.perf_counter() - t0) / n_rep
@@ -132,6 +147,8 @@ def main():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--no_fuse", action="store_true", help="keep runtime LoRA (unfused)")
+    p.add_argument("--fp32_params", action="store_true", help="fp32 master params in the scan")
     args = p.parse_args()
     result = bench_train(args) if args.train else bench_sampling(args)
     print(json.dumps(result))

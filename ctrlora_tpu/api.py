@@ -30,11 +30,17 @@ from ctrlora_tpu.utils.loading import load_ctrlora
 
 class CtrLoRA:
     def __init__(self, num_loras: int = 1, lora_rank: int = 128,
-                 cfg: Optional[ModelConfig] = None):
+                 cfg: Optional[ModelConfig] = None, fuse: bool = True,
+                 bf16: bool = True):
         self.num_loras = num_loras
         self.cfg = cfg or ctrlora_inference_config(lora_num=num_loras, lora_rank=lora_rank)
         self.pipe = CtrLoraPipeline(self.cfg)
         self.params: Optional[Params] = None
+        # inference optimizations: fold LoRA deltas into the base weights
+        # (lora_fuse.py) and cast kernels to bf16 once
+        self.fuse = fuse and self.pipe.fused_control is not None
+        self.bf16 = bf16
+        self.fused_controls = None
         self._sample_fn = None
         self._sample_key = None
 
@@ -53,6 +59,19 @@ class CtrLoRA:
             f"expected {self.num_loras} lora files, got {len(lora_files)}"
         )
         self.params = load_ctrlora(self.pipe, sd_file, basecn_file, lora_files)
+        from ctrlora_tpu.lora_fuse import cast_params_for_inference, fuse_control_tree
+
+        if self.fuse:
+            self.fused_controls = tuple(
+                fuse_control_tree(self.params.control, i, self.cfg.control.lora)
+                for i in range(self.num_loras)
+            )
+        if self.bf16:
+            self.params = cast_params_for_inference(self.params)
+            if self.fused_controls is not None:
+                self.fused_controls = tuple(
+                    cast_params_for_inference(t) for t in self.fused_controls
+                )
         self._sample_fn = None  # new params -> refresh jit cache key
 
     # ------------------------------------------------------------------
@@ -66,15 +85,22 @@ class CtrLoRA:
             f = 2 ** (len(self.cfg.vae.ch_mult) - 1)
 
             @jax.jit
-            def fn(params, hints, token_ids, n_token_ids, lora_weights,
-                   control_scales, rng):
+            def fn(params, fused_controls, hints, token_ids, n_token_ids,
+                   lora_weights, control_scales, rng):
                 ctx = pipe.encode_text_tokens(params, token_ids)
                 unc = pipe.encode_text_tokens(params, n_token_ids)
                 conds = []
                 for i in range(n_loras):
                     hz = pipe.encode_first_stage(params, hints[i])
                     conds.append(
-                        Conditioning(hz, lora_idx=jnp.int32(i), weight=lora_weights[i])
+                        Conditioning(
+                            hz,
+                            lora_idx=jnp.int32(i),
+                            weight=lora_weights[i],
+                            control_params=(
+                                fused_controls[i] if fused_controls else None
+                            ),
+                        )
                     )
                 z = ddim_sample(
                     pipe, params, rng, ctx, unc, conds,
@@ -144,8 +170,8 @@ class CtrLoRA:
              float(eta), bool(guess_mode))
         )
         out = fn(
-            self.params, hints, ids, nids, weights, control_scales,
-            jax.random.PRNGKey(seed),
+            self.params, self.fused_controls, hints, ids, nids, weights,
+            control_scales, jax.random.PRNGKey(seed),
         )
         out = np.asarray(out)
         return [Image.fromarray(out[i]) for i in range(num_samples)]

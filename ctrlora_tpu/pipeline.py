@@ -42,11 +42,18 @@ class Params(NamedTuple):
 @dataclasses.dataclass(frozen=True)
 class Conditioning:
     """One control condition: a latent (or pixel) hint plus its adapter index
-    and blend weight. Multi-LoRA inference passes several of these."""
+    and blend weight. Multi-LoRA inference passes several of these.
+
+    control_params: optional override tree for the control branch — used by
+    the LoRA-fused inference path where each condition carries its own fused
+    weights (see lora_fuse.py). Must match the pipeline's control module
+    structure.
+    """
 
     hint: jnp.ndarray  # latent-mode: [B,h,w,4] VAE-encoded; image-mode: [B,H,W,3]
     lora_idx: Optional[jnp.ndarray] = None  # int32 scalar
     weight: float = 1.0
+    control_params: Optional[Any] = None
 
 
 class CtrLoraPipeline:
@@ -68,6 +75,16 @@ class CtrLoraPipeline:
                 self.control_mode = "encoder"
             else:
                 self.control = ControlNet(cfg.control)
+        # module for LoRA-fused per-condition control params (lora_fuse.py)
+        self.fused_control = None
+        if (
+            cfg.control is not None
+            and cfg.control.variant != "lite"
+            and cfg.control.lora.n_loras > 0
+        ):
+            from ctrlora_tpu.lora_fuse import fused_control_config
+
+            self.fused_control = ControlNet(fused_control_config(cfg.control))
         self.vae = AutoencoderKL(cfg.vae)
         self.clip = CLIPTextModel(cfg.clip)
         self.schedule: DiffusionSchedule = make_schedule(
@@ -175,18 +192,24 @@ class CtrLoraPipeline:
             control_scales = jnp.ones((n,), jnp.float32)
         total = None
         for cond in conds:
+            cparams = cond.control_params
+            control_module = self.control
+            if cparams is not None and self.fused_control is not None:
+                control_module = self.fused_control
+            elif cparams is None:
+                cparams = params.control
             if self.cfg.control.variant == "lite":
-                taps = self.control.apply(
-                    params.control, x_noisy, t, context, hint=cond.hint
+                taps = control_module.apply(
+                    cparams, x_noisy, t, context, hint=cond.hint
                 )
             elif self.cfg.control.hint_mode == "image":
-                taps = self.control.apply(
-                    params.control, x_noisy, t, context,
+                taps = control_module.apply(
+                    cparams, x_noisy, t, context,
                     hint=cond.hint, lora_idx=cond.lora_idx,
                 )
             else:
-                taps = self.control.apply(
-                    params.control, cond.hint, t, context, lora_idx=cond.lora_idx
+                taps = control_module.apply(
+                    cparams, cond.hint, t, context, lora_idx=cond.lora_idx
                 )
             taps = [c * control_scales[i] * cond.weight for i, c in enumerate(taps)]
             if self.cfg.diffusion.global_average_pooling:
