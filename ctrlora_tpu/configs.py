@@ -83,9 +83,15 @@ class ControlNetConfig:
     hint_channels: int = 3
     hint_mode: str = "latent"
     lora: LoRAConfig = dataclasses.field(default_factory=LoRAConfig)
-    # 'controlnet' (decoder-side residuals) or 'lite' (attention-free branch,
-    # encoder-side residuals; reference cldm/cldm_lite.py)
+    # 'controlnet' (decoder-side residuals), 'lite' (attention-free branch,
+    # encoder-side residuals; reference cldm/cldm_lite.py), or 'xs'
+    # (two-stream cross infusion; reference cldm/cldm_xs.py)
     variant: str = "controlnet"
+    # ControlNet-XS knobs (variant='xs'; reference configs/cnxs_sd15.yaml)
+    control_model_ratio: float = 0.2
+    infusion2control: Optional[str] = "cat"
+    guiding: str = "encoder_double"
+    learn_embedding: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -209,6 +215,16 @@ def sd15_config() -> ModelConfig:
     )
 
 
+def cnxs_config() -> ModelConfig:
+    """ControlNet-XS baseline (reference: configs/cnxs_sd15.yaml)."""
+    return ModelConfig(
+        name="cnxs_sd15",
+        control=ControlNetConfig(
+            hint_mode="image", lora=LoRAConfig(n_loras=0), variant="xs"
+        ),
+    )
+
+
 def cnlite_config() -> ModelConfig:
     """ControlNet-Lite baseline (reference: configs/cnlite_sd15.yaml)."""
     return ModelConfig(
@@ -249,10 +265,17 @@ def ctrlora_finetune_config(
 
 def ctrlora_inference_config(lora_num: int = 1, lora_rank: int = 128) -> ModelConfig:
     """Switchable N-LoRA inference model (reference:
-    configs/inference/ctrlora_sd15_rank*_{1,2}lora*.yaml)."""
+    configs/inference/ctrlora_sd15_rank*_{1,2}lora*.yaml).
+
+    Rematerialization is OFF here: there is no backward pass at inference,
+    and jax.checkpoint barriers block XLA fusion inside the sampling scan.
+    """
+    unet = UNetConfig(use_checkpoint=False)
     return ModelConfig(
         name="ctrlora_inference",
+        unet=unet,
         control=ControlNetConfig(
+            unet=unet,
             hint_mode="latent",
             lora=LoRAConfig(n_loras=lora_num, rank=lora_rank, switchable_banks=True),
         ),
@@ -294,6 +317,7 @@ def tiny_test_config(
 _PRESETS = {
     "cldm_v15": sd15_config,
     "cnlite_sd15": cnlite_config,
+    "cnxs_sd15": cnxs_config,
     "ctrlora_pretrain": ctrlora_pretrain_config,
     "ctrlora_finetune": ctrlora_finetune_config,
     "ctrlora_inference": ctrlora_inference_config,

@@ -65,8 +65,20 @@ class CtrLoraPipeline:
         self.unet = UNet(cfg.unet)
         self.control = None
         self.control_mode = "decoder"
+        self.xs_unet = None
         if cfg.control is not None:
-            if cfg.control.variant == "lite":
+            if cfg.control.variant == "xs":
+                from ctrlora_tpu.models.xs import XSUNet
+
+                self.xs_unet = XSUNet(
+                    cfg.unet,
+                    hint_channels=cfg.control.hint_channels,
+                    control_model_ratio=cfg.control.control_model_ratio,
+                    infusion2control=cfg.control.infusion2control,
+                    guiding=cfg.control.guiding,
+                    learn_embedding=cfg.control.learn_embedding,
+                )
+            elif cfg.control.variant == "lite":
                 from ctrlora_tpu.models.lite import ControlNetLite
 
                 self.control = ControlNetLite(
@@ -113,7 +125,11 @@ class CtrLoraPipeline:
         x = jnp.zeros((1, s, s, self.cfg.unet.in_channels))
         t = jnp.zeros((1,), jnp.int32)
         ctx = jnp.zeros((1, self.cfg.clip.max_length, self.cfg.clip.hidden_size))
-        unet_params = self.unet.init(r1, x, t, ctx)
+        if self.xs_unet is not None:
+            hint = jnp.zeros((1, s * 8, s * 8, self.cfg.control.hint_channels))
+            unet_params = self.xs_unet.init(r1, x, t, ctx, hint=hint)
+        else:
+            unet_params = self.unet.init(r1, x, t, ctx)
         control_params = None
         if self.control is not None:
             if self.cfg.control.variant == "lite":
@@ -237,6 +253,13 @@ class CtrLoraPipeline:
         the uncond half of a CFG batch without control (reference:
         app/gradio_ctrlora.py:308 un_cond c_concat=None).
         """
+        if self.xs_unet is not None:
+            # ControlNet-XS: one fused two-stream forward
+            hint = conds[0].hint if conds else None
+            return self.xs_unet.apply(
+                params.unet, x_noisy, t, context, hint=hint,
+                no_control=not conds,
+            )
         control = None
         if conds:
             control = self.apply_control(

@@ -56,17 +56,24 @@ def control_trainable(path, cfg: TrainConfig) -> bool:
     raise ValueError(f"unknown trainable mode {cfg.trainable!r}")
 
 
-def unet_trainable(path, cfg: TrainConfig) -> bool:
+_XS_TRAINABLE_PREFIXES = ("ctrl_", "enc_zero_", "dec_zero_", "mid_zero_", "hint_block")
+
+
+def unet_trainable(path, cfg: TrainConfig, xs: bool = False) -> bool:
+    names = _path_names(path)
+    top = names[1] if len(names) > 1 else ""
+    if xs:
+        # ControlNet-XS: the control stream, zero convs and hint block live
+        # inside the fused unet tree; the base stream stays frozen
+        return any(top.startswith(p) for p in _XS_TRAINABLE_PREFIXES)
     if cfg.sd_locked:
         return False
-    names = _path_names(path)
     # top-level module name only ('params' is names[0]): decoder blocks and
     # the output head (reference: cldm/cldm.py:421-424 output_blocks + out)
-    top = names[1] if len(names) > 1 else ""
     return top.startswith("out_") or top in ("norm_out", "conv_out")
 
 
-def trainable_mask(params: Params, cfg: TrainConfig) -> Params:
+def trainable_mask(params: Params, cfg: TrainConfig, xs: bool = False) -> Params:
     """Boolean pytree: True where the param trains."""
     control = (
         jax.tree_util.tree_map_with_path(
@@ -76,7 +83,7 @@ def trainable_mask(params: Params, cfg: TrainConfig) -> Params:
         else None
     )
     unet = jax.tree_util.tree_map_with_path(
-        lambda p, _: unet_trainable(p, cfg), params.unet
+        lambda p, _: unet_trainable(p, cfg, xs=xs), params.unet
     )
     freeze = lambda tree: jax.tree_util.tree_map(lambda _: False, tree)
     return Params(unet, control, freeze(params.vae), freeze(params.clip))
@@ -115,9 +122,9 @@ class TrainState(NamedTuple):
 
 
 def create_train_state(
-    params: Params, cfg: TrainConfig
+    params: Params, cfg: TrainConfig, xs: bool = False
 ) -> tuple[TrainState, optax.GradientTransformation, Params]:
-    mask = trainable_mask(params, cfg)
+    mask = trainable_mask(params, cfg, xs=xs)
     tx = make_optimizer(cfg, mask)
     opt_state = tx.init(params)
     return TrainState(jnp.zeros((), jnp.int32), params, opt_state), tx, mask

@@ -40,7 +40,8 @@ class Trainer:
         os.makedirs(workdir, exist_ok=True)
         os.makedirs(os.path.join(workdir, "image_log"), exist_ok=True)
         params = params if params is not None else pipe.init(jax.random.PRNGKey(cfg.seed))
-        self.state, self.tx, self.mask = create_train_state(params, cfg)
+        is_xs = pipe.cfg.control is not None and pipe.cfg.control.variant == "xs"
+        self.state, self.tx, self.mask = create_train_state(params, cfg, xs=is_xs)
         self.step_fn = make_train_step(pipe, self.tx, cfg)
         self.mesh = create_mesh() if use_mesh else None
         if self.mesh is not None:
