@@ -130,11 +130,15 @@ def bench_train(args) -> dict:
         state, m = step(state, batch_data, rng)
     float(m["loss"])  # the step chain is sequential on state
     dt = (time.perf_counter() - t0) / args.reps
+    img_per_sec = batch / dt
     return {
         "metric": f"rank-128 lora finetune step b{batch} {size}x{size}",
         "value": round(1.0 / dt, 4),
         "unit": "steps/sec/chip",
-        "vs_baseline": round((1.0 / dt) / A100_BASELINE_FT_STEPS_PER_SEC, 3),
+        # baseline is the reference's ~3 images/sec at bs1 on one GPU;
+        # normalize by training images/sec so batch size doesn't skew it
+        "vs_baseline": round(img_per_sec / A100_BASELINE_FT_STEPS_PER_SEC, 3),
+        "images_per_sec": round(img_per_sec, 3),
         "seconds_per_step": round(dt, 4),
     }
 
