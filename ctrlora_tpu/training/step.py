@@ -65,8 +65,11 @@ def loss_for_batch(
         pipe.encode_text_tokens(params, batch["token_ids"])
     )
     conds, rng = _batch_conds(pipe, params, batch, rng)
-    if sd_locked:
-        # zero grads for the frozen UNet so XLA DCEs their backward entirely
+    is_xs = pipe.cfg.control is not None and pipe.cfg.control.variant == "xs"
+    if sd_locked and not is_xs:
+        # zero grads for the frozen UNet so XLA DCEs their backward entirely.
+        # (ControlNet-XS keeps its trainables INSIDE the unet tree, so it must
+        # not be stop-gradient'ed; the optimizer mask freezes the base stream.)
         params = params._replace(unet=jax.lax.stop_gradient(params.unet))
     return p_losses(pipe, params, t_rng, z, context, conds)
 

@@ -24,7 +24,7 @@ import jax
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--variant", choices=["controlnet", "lite"], default="controlnet")
+    p.add_argument("--variant", choices=["controlnet", "lite", "xs"], default="controlnet")
     p.add_argument("--dataroot", type=str, required=True)
     p.add_argument("--multigen20m", action="store_true")
     p.add_argument("--task", type=str, default=None)
@@ -45,7 +45,9 @@ def main():
     p.add_argument("--num_workers", type=int, default=16)
     args = p.parse_args()
 
-    from ctrlora_tpu.configs import TrainConfig, cnlite_config, load_model_config, sd15_config
+    from ctrlora_tpu.configs import (
+        TrainConfig, cnlite_config, cnxs_config, load_model_config, sd15_config,
+    )
     from ctrlora_tpu.data.datasets import CustomDataset, MultiGen20M
     from ctrlora_tpu.data.loader import Loader
     from ctrlora_tpu.data.scheduler import SingleTaskSchedule
@@ -58,7 +60,8 @@ def main():
     if args.config:
         cfg = load_model_config(args.config)
     else:
-        cfg = cnlite_config() if args.variant == "lite" else sd15_config()
+        cfg = {"lite": cnlite_config, "xs": cnxs_config,
+               "controlnet": sd15_config}[args.variant]()
     pipe = CtrLoraPipeline(cfg)
 
     if args.multigen20m:

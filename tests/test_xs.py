@@ -129,3 +129,50 @@ def test_xs_pipeline_tiny():
     assert np.isfinite(np.asarray(out)).all()
     out_nc = pipe.apply_model(params, x, t, ctx, None)
     assert np.isfinite(np.asarray(out_nc)).all()
+
+
+def test_xs_training_learns():
+    """XS gradients must flow into the control stream (and only there)."""
+    import dataclasses
+
+    from ctrlora_tpu.configs import TrainConfig, tiny_test_config
+    from ctrlora_tpu.pipeline import CtrLoraPipeline
+    from ctrlora_tpu.training.step import make_train_step
+    from ctrlora_tpu.training.train_state import create_train_state, trainable_mask
+
+    cfg = tiny_test_config(hint_mode="image")
+    cfg = dataclasses.replace(
+        cfg, control=dataclasses.replace(cfg.control, variant="xs",
+                                         control_model_ratio=0.5),
+    )
+    pipe = CtrLoraPipeline(cfg)
+    params = pipe.init(jax.random.PRNGKey(0), image_size=8)
+    tcfg = TrainConfig(learning_rate=1e-3, trainable="all", sd_locked=True)
+    state, tx, mask = create_train_state(params, tcfg, xs=True)
+    # mask: ctrl stream trainable, base frozen
+    flat = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_leaves_with_path(mask.unet)
+    }
+    assert any(v for k, v in flat.items() if "ctrl_" in k)
+    assert any(v for k, v in flat.items() if "enc_zero_" in k)
+    assert not any(v for k, v in flat.items() if "['in_1_res']" in k)
+
+    step = make_train_step(pipe, tx, tcfg, donate=False)
+    batch = {
+        "jpg": jnp.zeros((2, 32, 32, 3)),
+        "hint": jnp.ones((2, 128, 128, 3)) * 0.5,
+        "token_ids": jnp.ones((2, 16), jnp.int32),
+    }
+    state, m = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["grad_norm"]) > 0  # gradients flow despite sd_locked
+    # base stream unchanged, ctrl stream changed
+    for (pth, old), new, mval in zip(
+        jax.tree_util.tree_leaves_with_path(params.unet),
+        jax.tree_util.tree_leaves(state.params.unet),
+        jax.tree_util.tree_leaves(mask.unet),
+    ):
+        delta = float(np.abs(np.asarray(old) - np.asarray(new)).max())
+        if not mval:
+            assert delta == 0, jax.tree_util.keystr(pth)
