@@ -122,6 +122,37 @@ def _pidinet():
     return PidiNetDetector()
 
 
+class _MidasChannel:
+    """MidasDetector returns (depth, normal); expose one as a Detector."""
+
+    def __init__(self, index: int):
+        from ctrlora_tpu.annotators.midas import MidasDetector
+
+        self.det = get("midas") if "midas" in _CACHE else MidasDetector()
+        _CACHE.setdefault("midas", self.det)
+        self.index = index
+
+    def __call__(self, img, **kw):
+        return self.det(img, **kw)[self.index]
+
+
+@register("midas")
+def _midas():
+    from ctrlora_tpu.annotators.midas import MidasDetector
+
+    return MidasDetector()
+
+
+@register("depth")
+def _depth():
+    return _MidasChannel(0)
+
+
+@register("normal")
+def _normal():
+    return _MidasChannel(1)
+
+
 def _stub(name: str, needs: str):
     def factory():
         raise NotImplementedError(

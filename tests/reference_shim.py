@@ -53,6 +53,9 @@ def install_shims():
         tvt = _module("torchvision.transforms")
         tvt.ToTensor = object
         tvt.ToPILImage = object
+        tvt.Compose = lambda fns: (lambda x: x)
+        tvt.Normalize = lambda *a, **k: (lambda x: x)
+        tvt.Resize = lambda *a, **k: (lambda x: x)
         tv.transforms = tvt
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.utils"] = tvu
@@ -87,8 +90,90 @@ def install_shims():
             bs.utils = bsu
             sys.modules["basicsr"] = bs
             sys.modules["basicsr.utils"] = bsu
+    if "timm" not in sys.modules:
+        try:
+            import timm  # noqa: F401
+        except ImportError:
+            sys.modules["timm"] = _make_fake_timm()
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
+
+
+def _make_fake_timm():
+    """Minimal timm with a structurally-faithful ViT (enough for the DPT
+    backbone: patch_embed.proj, cls_token, pos_embed, pos_drop, blocks with
+    norm1/attn(qkv,proj)/norm2/mlp(fc1,fc2), final norm)."""
+    import math
+
+    import torch
+    import torch.nn as nn
+
+    class Attention(nn.Module):
+        def __init__(self, dim, num_heads):
+            super().__init__()
+            self.num_heads = num_heads
+            self.scale = (dim // num_heads) ** -0.5
+            self.qkv = nn.Linear(dim, dim * 3, bias=True)
+            self.proj = nn.Linear(dim, dim)
+
+        def forward(self, x):
+            B, N, C = x.shape
+            qkv = self.qkv(x).reshape(B, N, 3, self.num_heads, C // self.num_heads)
+            qkv = qkv.permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = (q @ k.transpose(-2, -1)) * self.scale
+            attn = attn.softmax(dim=-1)
+            x = (attn @ v).transpose(1, 2).reshape(B, N, C)
+            return self.proj(x)
+
+    class Mlp(nn.Module):
+        def __init__(self, dim, hidden):
+            super().__init__()
+            self.fc1 = nn.Linear(dim, hidden)
+            self.act = nn.GELU()
+            self.fc2 = nn.Linear(hidden, dim)
+
+        def forward(self, x):
+            return self.fc2(self.act(self.fc1(x)))
+
+    class Block(nn.Module):
+        def __init__(self, dim, heads):
+            super().__init__()
+            self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+            self.attn = Attention(dim, heads)
+            self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+            self.mlp = Mlp(dim, dim * 4)
+
+        def forward(self, x):
+            x = x + self.attn(self.norm1(x))
+            return x + self.mlp(self.norm2(x))
+
+    class PatchEmbed(nn.Module):
+        def __init__(self, dim, patch=16):
+            super().__init__()
+            self.proj = nn.Conv2d(3, dim, patch, patch)
+
+    class VisionTransformer(nn.Module):
+        def __init__(self, dim, depth, heads, img=384, patch=16):
+            super().__init__()
+            self.patch_embed = PatchEmbed(dim, patch)
+            self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
+            n = (img // patch) ** 2 + 1
+            self.pos_embed = nn.Parameter(torch.randn(1, n, dim) * 0.02)
+            self.pos_drop = nn.Identity()
+            self.blocks = nn.ModuleList([Block(dim, heads) for _ in range(depth)])
+            self.norm = nn.LayerNorm(dim, eps=1e-6)
+
+    def create_model(name, pretrained=False, **kw):
+        if "vit_large_patch16_384" in name:
+            return VisionTransformer(1024, 24, 16)
+        if "vit_base_patch16_384" in name or "deit" in name:
+            return VisionTransformer(768, 12, 12)
+        raise ValueError(name)
+
+    timm = _module("timm")
+    timm.create_model = create_model
+    return timm
 
 
 def reference_available() -> bool:
