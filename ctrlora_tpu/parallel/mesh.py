@@ -60,3 +60,25 @@ def init_distributed() -> None:
         jax.distributed.initialize()
     except Exception:
         pass  # single-host / local run
+
+
+def shard_largest_axis(mesh: Mesh, tree: Any, min_size: int = 2**14) -> Any:
+    """ZeRO-style sharding: place each large leaf split on its first axis
+    divisible by the mesh size; small/odd leaves stay replicated.
+
+    Used for optimizer state (Adam moments are the largest training buffers;
+    params stay replicated so the forward needs no gathers — XLA inserts the
+    all-gather/reduce-scatter pair around the update)."""
+    n = mesh.devices.size
+
+    def place(x):
+        if not hasattr(x, "shape") or x.size < min_size:
+            return jax.device_put(x, replicated(mesh))
+        for axis, dim in enumerate(x.shape):
+            if dim % n == 0:
+                spec = [None] * x.ndim
+                spec[axis] = DATA_AXIS
+                return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree_util.tree_map(place, tree)

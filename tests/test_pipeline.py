@@ -177,3 +177,53 @@ def test_data_parallel_8_devices():
         state, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 2
+
+
+def test_ema():
+    from ctrlora_tpu.training.ema import ema_init, ema_update
+
+    p0 = {"w": jnp.zeros((3,))}
+    state = ema_init(p0)
+    p1 = {"w": jnp.ones((3,))}
+    # warmup decay d = (1+1)/(10+1) = 2/11 -> shadow moves by (1-d) = 9/11
+    state = ema_update(state, p1, decay=0.9999)
+    np.testing.assert_allclose(np.asarray(state.params["w"]),
+                               np.full(3, 9 / 11), rtol=1e-6)
+    # converges toward current params
+    for _ in range(200):
+        state = ema_update(state, p1, decay=0.99)
+    assert np.all(np.asarray(state.params["w"]) > 0.8)
+
+
+def test_fsdp_opt_state_sharding():
+    """Optimizer-state sharding over the data axis produces the same loss
+    trajectory as replicated state."""
+    from ctrlora_tpu.parallel.mesh import (
+        create_mesh, replicate, shard_batch, shard_largest_axis,
+    )
+
+    mesh = create_mesh(8)
+    pipe, params = make_pipe(n_loras=1)
+    cfg = TrainConfig(learning_rate=1e-3, trainable="lora")
+    batch = make_batch(B=8)
+
+    def run(shard_opt):
+        state, tx, _ = create_train_state(params, cfg)
+        step = make_train_step(pipe, tx, cfg, donate=False)
+        with mesh:
+            if shard_opt:
+                state = state._replace(
+                    params=replicate(mesh, state.params),
+                    opt_state=shard_largest_axis(mesh, state.opt_state, min_size=64),
+                    step=replicate(mesh, state.step),
+                )
+            else:
+                state = replicate(mesh, state)
+            b = shard_batch(mesh, batch)
+            losses = []
+            for _ in range(2):
+                state, m = step(state, b, jax.random.PRNGKey(5))
+                losses.append(float(m["loss"]))
+        return losses
+
+    np.testing.assert_allclose(run(True), run(False), rtol=1e-4)
