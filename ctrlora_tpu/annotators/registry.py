@@ -153,6 +153,13 @@ def _normal():
     return _MidasChannel(1)
 
 
+@register("seg")
+def _seg():
+    from ctrlora_tpu.annotators.uniformer import UniformerDetector
+
+    return UniformerDetector()
+
+
 def _stub(name: str, needs: str):
     def factory():
         raise NotImplementedError(

@@ -95,8 +95,91 @@ def install_shims():
             import timm  # noqa: F401
         except ImportError:
             sys.modules["timm"] = _make_fake_timm()
+            _install_timm_layers()
+    if "addict" not in sys.modules:
+        try:
+            import addict  # noqa: F401
+        except ImportError:
+            addict = _module("addict")
+
+            class ADict(dict):
+                def __getattr__(self, k):
+                    try:
+                        return self[k]
+                    except KeyError:
+                        raise AttributeError(k)
+
+                def __setattr__(self, k, v):
+                    self[k] = v
+
+                def __delattr__(self, k):
+                    del self[k]
+
+            addict.Dict = ADict
+            sys.modules["addict"] = addict
+    if "yapf" not in sys.modules:
+        try:
+            import yapf  # noqa: F401
+        except ImportError:
+            yapf = _module("yapf")
+            ylib = _module("yapf.yapflib")
+            yapi = _module("yapf.yapflib.yapf_api")
+            yapi.FormatCode = lambda s, **k: (s, True)
+            ylib.yapf_api = yapi
+            yapf.yapflib = ylib
+            sys.modules["yapf"] = yapf
+            sys.modules["yapf.yapflib"] = ylib
+            sys.modules["yapf.yapflib.yapf_api"] = yapi
+    if "prettytable" not in sys.modules:
+        try:
+            import prettytable  # noqa: F401
+        except ImportError:
+            pt = _module("prettytable")
+            pt.PrettyTable = object
+            sys.modules["prettytable"] = pt
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
+
+
+def _install_timm_layers():
+    """timm.models.layers with the pieces the vendored backbones use."""
+    import collections.abc
+
+    import torch
+    import torch.nn as nn
+
+    models = _module("timm.models")
+    layers = _module("timm.models.layers")
+
+    class DropPath(nn.Module):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            if not self.training or self.drop_prob == 0.0:
+                return x
+            keep = 1 - self.drop_prob
+            mask = torch.rand(x.shape[0], *([1] * (x.ndim - 1)), device=x.device) < keep
+            return x / keep * mask
+
+    def to_2tuple(x):
+        if isinstance(x, collections.abc.Iterable):
+            return tuple(x)
+        return (x, x)
+
+    def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        with torch.no_grad():
+            tensor.normal_(mean, std).clamp_(a * std, b * std)
+        return tensor
+
+    layers.DropPath = DropPath
+    layers.to_2tuple = to_2tuple
+    layers.trunc_normal_ = trunc_normal_
+    models.layers = layers
+    sys.modules["timm.models"] = models
+    sys.modules["timm.models.layers"] = layers
+    sys.modules["timm"].models = models
 
 
 def _make_fake_timm():

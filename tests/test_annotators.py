@@ -60,7 +60,7 @@ def test_hed_runs_random_weights(img):
 
 def test_stub_annotators_raise():
     with pytest.raises(NotImplementedError):
-        registry.get("seg")
+        registry.get("zoe")
 
 
 def test_util_helpers(img):

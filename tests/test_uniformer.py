@@ -1,0 +1,85 @@
+"""UniFormer-S + UPerNet parity vs the vendored reference (random weights)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.reference_shim import install_shims, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference tree or torch unavailable"
+)
+
+
+def _build_ref():
+    install_shims()
+    import torch
+    from annotator.uniformer.mmseg.models.backbones.uniformer import UniFormer
+    from annotator.uniformer.mmseg.models.decode_heads import UPerHead
+
+    torch.manual_seed(0)
+    backbone = UniFormer(
+        layers=[3, 4, 8, 3], embed_dim=[64, 128, 320, 512], head_dim=64,
+        mlp_ratio=4.0, qkv_bias=True, drop_path_rate=0.0,
+    ).eval()
+    head = UPerHead(
+        in_channels=[64, 128, 320, 512], in_index=[0, 1, 2, 3],
+        pool_scales=(1, 2, 3, 6), channels=512, dropout_ratio=0.0,
+        num_classes=150, norm_cfg=dict(type="BN", requires_grad=True),
+        align_corners=False,
+    ).eval()
+    # randomize BN running stats so folding is non-trivial
+    with torch.no_grad():
+        for m in list(backbone.modules()) + list(head.modules()):
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 2.0)
+    return backbone, head
+
+
+def test_uniformer_upernet_parity():
+    import torch
+
+    from ctrlora_tpu.annotators.uniformer import (
+        convert_uniformer, seg_logits, uniformer_forward,
+    )
+
+    backbone, head = _build_ref()
+    sd = {f"backbone.{k}": v.numpy() for k, v in backbone.state_dict().items()}
+    sd.update({f"decode_head.{k}": v.numpy() for k, v in head.state_dict().items()})
+    params = jax.tree_util.tree_map(jnp.asarray, convert_uniformer(sd))
+
+    x = np.random.default_rng(0).standard_normal((1, 3, 64, 96), np.float32)
+    with torch.no_grad():
+        feats_ref = backbone.forward_features(torch.from_numpy(x))
+        logits_ref = head(list(feats_ref)).numpy()
+
+    feats = uniformer_forward(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    for fr, f in zip(feats_ref, feats):
+        a = fr.numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(
+            a, np.asarray(f), atol=1e-3 * max(1.0, np.abs(a).max()), rtol=3e-3
+        )
+    logits = seg_logits(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    a = logits_ref.transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(
+        a, np.asarray(logits), atol=2e-3 * max(1.0, np.abs(a).max()), rtol=5e-3
+    )
+
+
+def test_uniformer_detector_contract():
+    from ctrlora_tpu.annotators.uniformer import UniformerDetector, convert_uniformer
+
+    backbone, head = _build_ref()
+    sd = {f"backbone.{k}": v.numpy() for k, v in backbone.state_dict().items()}
+    sd.update({f"decode_head.{k}": v.numpy() for k, v in head.state_dict().items()})
+    det = UniformerDetector(
+        params=jax.tree_util.tree_map(jnp.asarray, convert_uniformer(sd))
+    )
+    img = np.random.default_rng(1).integers(0, 255, (80, 120, 3), dtype=np.uint8).astype(np.uint8)
+    # override the 512 shorter-side for test speed by feeding a small image;
+    # the detector resizes up — use a tiny monkeypatch-free call anyway
+    out = det(img)
+    assert out.shape == (80, 120, 3) and out.dtype == np.uint8
