@@ -125,9 +125,13 @@ class CLIPTextConfig:
     num_heads: int = 12
     max_length: int = 77
     # 'last' = final_layer_norm(hidden states); 'hidden' = intermediate layer
-    # (clip-skip); 'pooled' = EOS pooled embedding.
+    # (clip-skip); 'pooled' = EOS pooled embedding; 'projected' = pooled @
+    # text_projection (CLIPTextModelWithProjection, used by the style app's
+    # negative-content embedding).
     layer: str = "last"
     layer_idx: Optional[int] = None
+    hidden_act: str = "quick_gelu"  # openai CLIP; laion ViT-H uses 'gelu'
+    projection_dim: Optional[int] = None
     dtype: str = "float32"
 
     @property

@@ -60,7 +60,9 @@ class CLIPLayer(nn.Module):
         x = x + CLIPAttention(cfg, name="self_attn")(h, mask)
         h = LayerNorm32(name="layer_norm2")(x)
         h = Dense(cfg.intermediate_size, dtype=dt, name="fc1")(h)
-        h = quick_gelu(h)
+        import flax.linen as _nn
+
+        h = quick_gelu(h) if cfg.hidden_act == "quick_gelu" else _nn.gelu(h, approximate=False)
         h = Dense(cfg.hidden_size, dtype=dt, name="fc2")(h)
         return x + h
 
@@ -101,9 +103,15 @@ class CLIPTextModel(nn.Module):
         if cfg.layer == "hidden":
             assert hidden is not None, "layer='hidden' requires layer_idx"
             return hidden.astype(jnp.float32)
-        if cfg.layer == "pooled":
+        if cfg.layer in ("pooled", "projected"):
             eos = jnp.argmax(input_ids, axis=-1)  # EOT has the max token id
-            return final[jnp.arange(b), eos]
+            pooled = final[jnp.arange(b), eos]
+            if cfg.layer == "pooled":
+                return pooled
+            assert cfg.projection_dim, "layer='projected' needs projection_dim"
+            return Dense(
+                cfg.projection_dim, use_bias=False, name="text_projection"
+            )(pooled)
         raise ValueError(f"unknown layer {self.cfg.layer!r}")
 
 

@@ -8,9 +8,12 @@ control stream sees the base stream ('cat' infusion2control). The base
 decoder consumes corrections from the control encoder stack in reverse.
 
 Covered modes (the shipped config, configs/cnxs_sd15.yaml): two_stream_mode=
-'cross', guiding='encoder'/'encoder_double', infusion2control='cat'/'add'/
-None, infusion2base='add', fixed=True. 'full' guiding and 'sequential' mode
-are not implemented (unused by the reference configs).
+'cross', guiding='encoder'/'encoder_double'/'full', infusion2control='cat'/
+'add'/None, infusion2base='add', fixed=True. 'full' gives the control stream
+its own decoder with mutual infusion at every decoder layer except the last
+(cldm_xs.py:325-348). two_stream_mode='sequential' is dead code in the
+reference — its forward only implements 'cross' (cldm_xs.py:302) — so it is
+intentionally omitted.
 
 The base stream's blocks use the same names as models.unet.UNet so SD
 weights bridge with the standard table under the 'base' subtree.
@@ -36,7 +39,7 @@ class XSUNet(nn.Module):
     hint_channels: int = 3
     control_model_ratio: float = 0.2
     infusion2control: Optional[str] = "cat"  # 'cat' | 'add' | None
-    guiding: str = "encoder_double"  # 'encoder' | 'encoder_double'
+    guiding: str = "encoder_double"  # 'encoder' | 'encoder_double' | 'full'
     learn_embedding: bool = False
     control_scale: float = 1.0
 
@@ -107,7 +110,7 @@ class XSUNet(nn.Module):
             if guided is not None:
                 h_ctr = h_ctr + guided
                 guided = None
-            if self.guiding == "encoder_double":
+            if self.guiding in ("encoder_double", "full"):
                 h_base = h_base + ZeroConv(bstep.out_ch, dtype=dt, name=f"enc_zero_out_{i}")(h_ctr) * self.control_scale
             hs_base.append(h_base)
             hs_ctr.append(h_ctr)
@@ -129,18 +132,48 @@ class XSUNet(nn.Module):
         h_ctr = _attn(ctr_cfg, cch, None, "ctrl_mid_attn")(h_ctr, context, None)
         h_ctr = _res(ctr_cfg, cch, None, "ctrl_mid_res1")(h_ctr, emb, None)
         h_base = h_base + ZeroConv(bch, dtype=dt, name="mid_zero_out")(h_ctr) * self.control_scale
+        if self.guiding == "full":
+            # control stream keeps seeing the base at the bottleneck
+            # (cldm_xs.py:326-327, middle_block_in)
+            if self.infusion2control == "cat":
+                h_ctr = jnp.concatenate(
+                    [h_ctr, ZeroConv(bch, dtype=dt, name="mid_zero_in")(h_base)], axis=-1
+                )
+            elif self.infusion2control == "add":
+                h_ctr = h_ctr + ZeroConv(cch, dtype=dt, name="mid_zero_in")(h_base)
 
-        # decoder: corrections from the control encoder stack in reverse
         dec_steps = decoder_plan(cfg)
+        dec_steps_ctr = decoder_plan(ctr_cfg)
         for i, step in enumerate(dec_steps):
-            corr = hs_ctr.pop()
-            h_base = h_base + ZeroConv(h_base.shape[-1], dtype=dt, name=f"dec_zero_out_{i}")(corr) * self.control_scale
+            if self.guiding != "full":
+                # corrections from the control ENCODER stack in reverse
+                corr = hs_ctr.pop()
+                h_base = h_base + ZeroConv(h_base.shape[-1], dtype=dt, name=f"dec_zero_out_{i}")(corr) * self.control_scale
             h_base = jnp.concatenate([h_base, hs_base.pop()], axis=-1)
             h_base = _res(cfg, step.out_ch, None, f"out_{i}_res")(h_base, emb, None)
             if step.attn:
                 h_base = _attn(cfg, step.out_ch, None, f"out_{i}_attn")(h_base, context, None)
             if step.upsample:
                 h_base = Upsample(step.out_ch, dtype=dt, name=f"out_{i}_up")(h_base)
+            if self.guiding == "full":
+                # control decoder runs in lockstep; mutual infusion on every
+                # layer but the last (cldm_xs.py:341-348)
+                cstep = dec_steps_ctr[i]
+                h_ctr = jnp.concatenate([h_ctr, hs_ctr.pop()], axis=-1)
+                h_ctr = _res(ctr_cfg, cstep.out_ch, None, f"ctrl_out_{i}_res")(h_ctr, emb, None)
+                if cstep.attn:
+                    h_ctr = _attn(ctr_cfg, cstep.out_ch, None, f"ctrl_out_{i}_attn")(h_ctr, context, None)
+                if cstep.upsample:
+                    h_ctr = Upsample(cstep.out_ch, dtype=dt, name=f"ctrl_out_{i}_up")(h_ctr)
+                if i != len(dec_steps) - 1:
+                    h_base = h_base + ZeroConv(step.out_ch, dtype=dt, name=f"dec_zero_out_{i}")(h_ctr) * self.control_scale
+                    if self.infusion2control == "cat":
+                        h_ctr = jnp.concatenate(
+                            [h_ctr, ZeroConv(step.out_ch, dtype=dt, name=f"dec_zero_in_{i}")(h_base)],
+                            axis=-1,
+                        )
+                    elif self.infusion2control == "add":
+                        h_ctr = h_ctr + ZeroConv(cstep.out_ch, dtype=dt, name=f"dec_zero_in_{i}")(h_base)
 
         h = GroupNorm32(name="norm_out")(h_base)
         h = nn.silu(h)
@@ -195,14 +228,34 @@ def xs_entries(
     e += _resblock(f"{ctrl_prefix}middle_block.0", "ctrl_mid_res0", cat)
     e += _transformer(f"{ctrl_prefix}middle_block.1", "ctrl_mid_attn", cfg.transformer_depth)
     e += _resblock(f"{ctrl_prefix}middle_block.2", "ctrl_mid_res1", False)
+    if guiding == "full":
+        # control decoder (reference: ControlledUNetModelFixed output_blocks)
+        from ctrlora_tpu.models.unet import decoder_plan
+
+        for i, step in enumerate(decoder_plan(ctr_cfg)):
+            t = f"{ctrl_prefix}output_blocks.{i}"
+            e += _resblock(f"{t}.0", f"ctrl_out_{i}_res", True)
+            nxt = 1
+            if step.attn:
+                e += _transformer(f"{t}.{nxt}", f"ctrl_out_{i}_attn", cfg.transformer_depth)
+                nxt += 1
+            if step.upsample:
+                e += _conv(f"{t}.{nxt}.conv", (f"ctrl_out_{i}_up", "conv"))
     n_enc = len(steps)
     for i in range(n_enc):
         e += _conv(f"enc_zero_convs_in.{i}.0", (f"enc_zero_in_{i}",))
-        if guiding == "encoder_double":
+        if guiding in ("encoder_double", "full"):
             e += _conv(f"enc_zero_convs_out.{i}.0", (f"enc_zero_out_{i}",))
     e += _conv("middle_block_out.0", ("mid_zero_out",))
-    for i in range(n_enc):
-        e += _conv(f"dec_zero_convs_out.{i}.0", (f"dec_zero_out_{i}",))
+    if guiding == "full":
+        e += _conv("middle_block_in.0", ("mid_zero_in",))
+        n_dec = len(decoder_plan(ctr_cfg))
+        for i in range(n_dec - 1):
+            e += _conv(f"dec_zero_convs_out.{i}.0", (f"dec_zero_out_{i}",))
+            e += _conv(f"dec_zero_convs_in.{i}.0", (f"dec_zero_in_{i}",))
+    else:
+        for i in range(n_enc):
+            e += _conv(f"dec_zero_convs_out.{i}.0", (f"dec_zero_out_{i}",))
     for j, idx in enumerate(range(0, 14, 2)):
         e += _conv(f"input_hint_block.{idx}", ("hint_block", f"conv_{j}"))
     e += _conv("input_hint_block.14", ("hint_block", "conv_out"))

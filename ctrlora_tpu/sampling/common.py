@@ -1,0 +1,78 @@
+"""Shared sampler plumbing: the CFG-stacked model call.
+
+Every sampler (DDIM/PLMS/DPM-Solver) needs the same guided-eps evaluation:
+stack cond+uncond into one 2B batch, one model call, combine. The reference
+duplicates this per sampler (ddim_hacked.py:190, plms.py:180,
+dpm_solver/sampler.py); here it is one helper.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax.numpy as jnp
+
+from ctrlora_tpu.pipeline import Conditioning, CtrLoraPipeline, Params
+
+
+def make_guided_eps_fn(
+    pipe: CtrLoraPipeline,
+    params: Params,
+    context: jnp.ndarray,
+    uncond_context: Optional[jnp.ndarray],
+    conds: Optional[Sequence[Conditioning]],
+    guidance_scale: float,
+    control_scales: Optional[jnp.ndarray] = None,
+    guess_mode: bool = False,
+    ip_context: Optional[jnp.ndarray] = None,
+    uncond_ip_context: Optional[jnp.ndarray] = None,
+) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """Returns eps_fn(x[B,...], t_scalar) -> guided model output [B,...].
+
+    Matches ddim_sample's CFG semantics: a single 2B-batch call; uncond
+    reuses the cond hints (reference: cldm/cldm.py:398); guess mode masks
+    control off for the uncond half.
+    """
+    use_cfg = uncond_context is not None and guidance_scale != 1.0
+
+    if use_cfg:
+        full_context = jnp.concatenate([context, uncond_context], axis=0)
+        full_conds = (
+            [
+                Conditioning(
+                    jnp.concatenate([c.hint, c.hint], axis=0), c.lora_idx, c.weight
+                )
+                for c in conds
+            ]
+            if conds
+            else None
+        )
+        full_ip = None
+        if ip_context is not None:
+            u_ip = uncond_ip_context if uncond_ip_context is not None else ip_context
+            full_ip = jnp.concatenate([ip_context, u_ip], axis=0)
+    else:
+        full_context, full_conds, full_ip = context, conds, ip_context
+
+    def eps_fn(x: jnp.ndarray, t_scalar: jnp.ndarray) -> jnp.ndarray:
+        B = x.shape[0]
+        tvec = jnp.full((B,), t_scalar, jnp.int32)
+        if use_cfg:
+            x2 = jnp.concatenate([x, x], axis=0)
+            cmask = None
+            if guess_mode:
+                cmask = jnp.concatenate(
+                    [jnp.ones((B,), jnp.float32), jnp.zeros((B,), jnp.float32)]
+                )
+            out = pipe.apply_model(
+                params, x2, jnp.concatenate([tvec, tvec]), full_context,
+                full_conds, control_scales, ip_context=full_ip,
+                control_batch_mask=cmask,
+            )
+            return out[B:] + guidance_scale * (out[:B] - out[B:])
+        return pipe.apply_model(
+            params, x, tvec, full_context, full_conds, control_scales,
+            ip_context=full_ip,
+        )
+
+    return eps_fn

@@ -56,6 +56,7 @@ def ddim_sample(
     x0: Optional[jnp.ndarray] = None,
     ddim_schedule: Optional[DDIMSchedule] = None,
     ip_context: Optional[jnp.ndarray] = None,  # [B, ip_tokens, D]
+    uncond_ip_context: Optional[jnp.ndarray] = None,  # CFG uncond half's ip
 ) -> jnp.ndarray:
     """Returns final latents [B, h, w, c]. Jit-compatible (wrap in jax.jit
     with pipe/cfg static or close over them)."""
@@ -85,11 +86,12 @@ def ddim_sample(
             if conds
             else None
         )
-        full_ip = (
-            jnp.concatenate([ip_context, ip_context], axis=0)
-            if ip_context is not None
-            else None
-        )
+        full_ip = None
+        if ip_context is not None:
+            # the reference's style app feeds image_proj(zeros) to the
+            # uncond half (app/gradio_ctrlora_style_transfer.py:410)
+            u_ip = uncond_ip_context if uncond_ip_context is not None else ip_context
+            full_ip = jnp.concatenate([ip_context, u_ip], axis=0)
     else:
         full_context = context
         full_conds = conds
@@ -198,6 +200,7 @@ def ddim_decode_from(
     rng: jax.Array,
     control_scales: Optional[jnp.ndarray] = None,
     ip_context: Optional[jnp.ndarray] = None,
+    uncond_ip_context: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """DDIM decode starting from an intermediate step (reference:
     ddim_hacked.py:297-317). Runs the first t_start steps of the ladder."""
@@ -213,5 +216,5 @@ def ddim_decode_from(
         pipe, params, rng, context, uncond_context, conds,
         x_latent.shape, dataclasses.replace(cfg, steps=t_start),
         control_scales=control_scales, x_T=x_latent, ddim_schedule=sub,
-        ip_context=ip_context,
+        ip_context=ip_context, uncond_ip_context=uncond_ip_context,
     )

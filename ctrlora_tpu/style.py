@@ -109,8 +109,40 @@ class StyleCtrLoRA(CtrLoRA):
         return self.image_proj.apply(self.image_proj_params, embeds)
 
     def embed_style_tokens_zero(self, batch: int = 1) -> jnp.ndarray:
-        """Neutral (no-style) tokens: zeros attend to zero values -> no-op."""
+        """Uncond style tokens = image_proj(zero embeds) (the reference's
+        uncond_image_prompt_embeds); falls back to zeros without weights."""
+        if self.image_proj_params is not None:
+            z = jnp.zeros((batch, self.vision_cfg.projection_dim))
+            return self.image_proj.apply(self.image_proj_params, z)
         return jnp.zeros((batch, self.ip_tokens, self.cfg.unet.context_dim or 768))
+
+    def embed_neg_content(
+        self, prompt: str, text_encoder_ckpt: str, scale: float = 1.0
+    ) -> jnp.ndarray:
+        """Negative-content embedding: projected ViT-H CLIP *text* embedding
+        scaled, to be subtracted from the style image embedding
+        (app/gradio_ctrlora_style_transfer.py:395-403)."""
+        from ctrlora_tpu.configs import CLIPTextConfig
+        from ctrlora_tpu.models.clip import CLIPTextModel
+        from ctrlora_tpu.utils.tokenizer import default_tokenizer
+
+        cfg = CLIPTextConfig(
+            hidden_size=1024, intermediate_size=4096, num_layers=24,
+            num_heads=16, layer="projected", projection_dim=1024,
+            hidden_act="gelu",
+        )
+        model = CLIPTextModel(cfg)
+        sd = bridge.load_torch_state_dict(text_encoder_ckpt)
+        tree, _ = bridge.convert_tree(
+            sd, bridge.clip_entries(cfg), prefix="text_model.", strict=False
+        )
+        if "text_projection.weight" in sd:
+            tree["params"]["text_projection"] = {
+                "kernel": np.asarray(sd["text_projection.weight"], np.float32).T
+            }
+        params = jax.tree_util.tree_map(jnp.asarray, tree)
+        ids = jnp.asarray(default_tokenizer()([prompt]))
+        return model.apply(params, ids) * scale
 
     # ------------------------------------------------------------------
     def sample_with_style(
@@ -169,11 +201,17 @@ class StyleCtrLoRA(CtrLoRA):
             z = ddim_decode_from(
                 pipe, self.params, z_T, t_start, ctx, unc, conds, ddim, rng,
                 ip_context=ip,
+                uncond_ip_context=jnp.repeat(
+                    self.embed_style_tokens_zero(1), num_samples, axis=0
+                ) if self.image_proj_params is not None else None,
             )
         else:
             z = ddim_sample(
                 pipe, self.params, rng, ctx, unc, conds, latent_shape, ddim,
                 ip_context=ip,
+                uncond_ip_context=jnp.repeat(
+                    self.embed_style_tokens_zero(1), num_samples, axis=0
+                ) if self.image_proj_params is not None else None,
             )
         img = pipe.decode_first_stage(self.params, z)
         out = np.asarray(jnp.clip(img * 127.5 + 127.5, 0, 255)).astype(np.uint8)

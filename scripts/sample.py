@@ -35,6 +35,8 @@ def main():
     p.add_argument("--lora_rank", type=int, default=128)
     p.add_argument("--n_samples", type=int, default=-1, help="-1 = all")
     p.add_argument("--ddim_steps", type=int, default=50)
+    p.add_argument("--sampler", type=str, default="ddim",
+                   choices=["ddim", "plms", "dpm_solver"])
     p.add_argument("--scale", type=float, default=7.5)
     p.add_argument("--strength", type=float, default=1.0)
     p.add_argument("--eta", type=float, default=0.0)
@@ -50,6 +52,8 @@ def main():
     from ctrlora_tpu.data.datasets import CustomDataset
     from ctrlora_tpu.pipeline import Conditioning, CtrLoraPipeline
     from ctrlora_tpu.sampling.ddim import DDIMConfig, ddim_sample
+    from ctrlora_tpu.sampling.dpm_solver import dpm_solver_sample
+    from ctrlora_tpu.sampling.plms import plms_sample
     from ctrlora_tpu.utils.loading import load_ctrlora, load_lora_slot_into
     from ctrlora_tpu.utils import ckpt_torch as bridge
     from ctrlora_tpu.utils.tokenizer import default_tokenizer
@@ -121,7 +125,9 @@ def main():
                 ctx = pipe.encode_text_tokens(params, ids)
                 unc = pipe.encode_text_tokens(params, nids)
                 hz = pipe.encode_first_stage(params, hint)
-                z = ddim_sample(
+                sampler_fn = {"ddim": ddim_sample, "plms": plms_sample,
+                              "dpm_solver": dpm_solver_sample}[args.sampler]
+                z = sampler_fn(
                     pipe, params, rng, ctx, unc,
                     [Conditioning(hz, lora_idx=jnp.int32(0))],
                     (hint.shape[0], H // f, W // f, 4), ddim,

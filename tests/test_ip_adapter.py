@@ -160,3 +160,39 @@ def test_load_ip_adapter_into_tiny():
         jnp.zeros((1,), jnp.int32), jnp.zeros((1, 18, 64)),
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_uncond_ip_context_changes_cfg():
+    """The style app feeds image_proj(zeros) to the uncond CFG half
+    (app/gradio_ctrlora_style_transfer.py:410); a distinct uncond_ip_context
+    must change the guided output."""
+    from ctrlora_tpu.pipeline import Conditioning, CtrLoraPipeline
+    from ctrlora_tpu.sampling.ddim import DDIMConfig, ddim_sample
+
+    cfg = _tiny_style_cfg()
+    pipe = CtrLoraPipeline(cfg)
+    params = pipe.init(jax.random.PRNGKey(0), image_size=8)
+
+    def bump(path, x):
+        ks = jax.tree_util.keystr(path)
+        if "to_k_ip" in ks or "to_v_ip" in ks:
+            return jnp.ones_like(x) * 0.1
+        if "kernel" in ks and any(s in ks for s in ("conv_out", "proj_out", "out_conv")):
+            return jax.random.normal(jax.random.PRNGKey(5), x.shape) * 0.05
+        return x
+
+    params = params._replace(unet=jax.tree_util.tree_map_with_path(bump, params.unet))
+    B = 1
+    ctx, unc = jnp.ones((B, 16, 64)), jnp.zeros((B, 16, 64))
+    conds = [Conditioning(jnp.ones((B, 8, 8, 4)) * 0.1, lora_idx=jnp.int32(0))]
+    ip = jnp.ones((B, 2, 64)) * 0.5
+    run = lambda u: ddim_sample(
+        pipe, params, jax.random.PRNGKey(1), ctx, unc, conds, (B, 8, 8, 4),
+        DDIMConfig(steps=2, guidance_scale=4.0), ip_context=ip,
+        uncond_ip_context=u,
+    )
+    z_same = run(None)           # uncond half reuses cond ip
+    z_same2 = run(ip)            # explicitly the same -> identical
+    z_diff = run(jnp.zeros((B, 2, 64)))
+    np.testing.assert_array_equal(np.asarray(z_same), np.asarray(z_same2))
+    assert np.abs(np.asarray(z_same) - np.asarray(z_diff)).max() > 1e-6

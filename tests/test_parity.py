@@ -213,3 +213,44 @@ def test_clip_parity():
         jax.tree_util.tree_map(jnp.asarray, tree), jnp.asarray(ids, jnp.int32)
     )
     np.testing.assert_allclose(out_ref, np.asarray(out), atol=2e-4, rtol=2e-3)
+
+
+def test_clip_projected_parity():
+    """layer='projected' vs HF CLIPTextModelWithProjection (the style app's
+    negative-content text tower, gradio_ctrlora_style_transfer.py:395-403)."""
+    install_shims()
+    import torch
+    import transformers
+
+    hf_cfg = transformers.CLIPTextConfig(
+        vocab_size=100, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, max_position_embeddings=16,
+        projection_dim=24, hidden_act="gelu", eos_token_id=99,
+    )
+    torch.manual_seed(4)
+    ref = transformers.CLIPTextModelWithProjection(hf_cfg).eval()
+
+    my_cfg = CLIPTextConfig(
+        vocab_size=100, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=2, max_length=16,
+        layer="projected", projection_dim=24, hidden_act="gelu",
+    )
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    tree, _ = bridge.convert_tree(
+        sd, bridge.clip_entries(my_cfg), prefix="text_model.", strict=False
+    )
+    tree["params"]["text_projection"] = {
+        "kernel": sd["text_projection.weight"].T.astype(np.float32)
+    }
+
+    from ctrlora_tpu.models.clip import CLIPTextModel
+
+    # EOT (id 99, the vocab max) mid-sequence so pooling position is nontrivial
+    ids = np.array([[5, 3, 7, 99, 0, 0], [12, 99, 0, 0, 0, 0]], np.int64)
+    ids = np.pad(ids, ((0, 0), (0, 10)))
+    with torch.no_grad():
+        out_ref = ref(input_ids=torch.from_numpy(ids)).text_embeds.numpy()
+    out = CLIPTextModel(my_cfg).apply(
+        jax.tree_util.tree_map(jnp.asarray, tree), jnp.asarray(ids, jnp.int32)
+    )
+    np.testing.assert_allclose(out_ref, np.asarray(out), atol=2e-4, rtol=2e-3)

@@ -176,3 +176,69 @@ def test_xs_training_learns():
         delta = float(np.abs(np.asarray(old) - np.asarray(new)).max())
         if not mval:
             assert delta == 0, jax.tree_util.keystr(pth)
+
+
+def test_xs_full_guiding_parity():
+    """guiding='full': the control stream has its own decoder with mutual
+    infusion at every decoder layer but the last (cldm_xs.py:325-348)."""
+    install_shims()
+    import torch
+    from cldm.cldm_xs import TwoStreamControlNet
+    from ldm.modules.diffusionmodules.openaimodel import UNetModel
+
+    torch.manual_seed(1)
+    common = dict(
+        image_size=32, in_channels=4, out_channels=4, model_channels=32,
+        num_res_blocks=1, attention_resolutions=[2], channel_mult=[1, 2],
+        num_heads=2, use_spatial_transformer=True, transformer_depth=1,
+        context_dim=48, use_checkpoint=False, legacy=False,
+    )
+    ref = TwoStreamControlNet(
+        hint_channels=3, infusion2control="cat", infusion2base="add",
+        guiding="full", two_stream_mode="cross",
+        control_model_ratio=0.5, learn_embedding=False, fixed=True, **common,
+    ).eval()
+    base = UNetModel(**common).eval()
+    with torch.no_grad():
+        for n, p in ref.named_parameters():
+            if ("zero_convs" in n or "middle_block_out" in n
+                    or "middle_block_in" in n or "input_hint" in n):
+                p.copy_(torch.randn_like(p) * 0.2)
+
+    sd = {f"base.{k}": v.numpy() for k, v in base.state_dict().items()}
+    sd.update({k: v.numpy() for k, v in ref.state_dict().items()})
+
+    entries = xs_entries(
+        BASE, ratio=0.5, infusion2control="cat", guiding="full",
+        learn_embedding=False, base_prefix="base.", ctrl_prefix="control_model.",
+    )
+    tree, missing = bridge.convert_tree(sd, entries, strict=False)
+    assert not [m for m in missing if not m.startswith("control_model.time_embed")], missing[:8]
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 4, 16, 16), np.float32)
+    hint = rng.standard_normal((1, 3, 128, 128), np.float32)
+    t = np.array([123], np.int64)
+    ctx = rng.standard_normal((1, 7, 48), np.float32)
+    to_nhwc = lambda a: np.transpose(a, (0, 2, 3, 1))
+
+    with torch.no_grad():
+        out_ref = ref(
+            x=torch.from_numpy(x), hint=torch.from_numpy(hint),
+            timesteps=torch.from_numpy(t), context=torch.from_numpy(ctx),
+            base_model=base,
+        ).numpy()
+
+    model = XSUNet(
+        BASE, hint_channels=3, control_model_ratio=0.5,
+        infusion2control="cat", guiding="full", learn_embedding=False,
+    )
+    out = model.apply(
+        jax.tree_util.tree_map(jnp.asarray, tree),
+        jnp.asarray(to_nhwc(x)), jnp.asarray(t), jnp.asarray(ctx),
+        hint=jnp.asarray(to_nhwc(hint)),
+    )
+    np.testing.assert_allclose(
+        to_nhwc(out_ref), np.asarray(out),
+        atol=1e-5 * max(1.0, np.abs(out_ref).max()), rtol=2e-3,
+    )
