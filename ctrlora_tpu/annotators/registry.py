@@ -160,6 +160,13 @@ def _seg():
     return UniformerDetector()
 
 
+@register("normalbae")
+def _normalbae():
+    from ctrlora_tpu.annotators.normalbae import NormalBaeDetector
+
+    return NormalBaeDetector()
+
+
 def _stub(name: str, needs: str):
     def factory():
         raise NotImplementedError(
@@ -174,7 +181,6 @@ for _name, _needs in {
     "depth": "MiDaS DPT weights",
     "zoe": "ZoeDepth weights",
     "normal": "MiDaS normal-from-depth",
-    "normalbae": "NormalBAE weights",
     "openpose": "OpenPose body/hand/face weights",
     "seg": "UniFormer/UperNet weights",
     "seg_ofcoco": "OneFormer COCO weights",

@@ -1,0 +1,102 @@
+"""NormalBAE (NNET / tf_efficientnet_b5_ap) parity vs the vendored reference
+with random weights."""
+
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.reference_shim import install_shims, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference tree or torch unavailable"
+)
+
+
+def _build_ref():
+    install_shims()
+    import torch
+    from annotator.normalbae.models.NNET import NNET
+
+    torch.manual_seed(0)
+    args = types.SimpleNamespace(
+        mode="client", architecture="BN", pretrained="scannet",
+        sampling_ratio=0.4, importance_ratio=0.7,
+    )
+    model = NNET(args).eval()
+    # BNs at init are identity-ish; randomize running stats + affine so the
+    # folded-affine bridge is non-trivial. Keep per-layer gain < 1 so the
+    # 40-block encoder's activations stay O(1): with O(1e4) activations the
+    # unit-normal output is fp32-ill-conditioned and parity can't be judged.
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.05)
+                m.running_var.copy_(torch.rand_like(m.running_var) + 2.5)
+                m.weight.copy_(torch.rand_like(m.weight) * 0.2 + 0.9)
+                m.bias.copy_(torch.randn_like(m.bias) * 0.05)
+    return model
+
+
+def test_b5_stage_plan():
+    from ctrlora_tpu.annotators.normalbae import _round_ch, b5_stages
+
+    assert _round_ch(32) == 48 and _round_ch(1280) == 2048
+    stages = b5_stages()
+    assert [c for (_, _, _, c, _) in stages] == [24, 40, 64, 128, 176, 304, 512]
+    assert [r for (_, _, _, _, r) in stages] == [3, 5, 5, 7, 7, 9, 3]
+
+
+def test_nnet_parity():
+    install_shims()
+    import torch
+
+    from ctrlora_tpu.annotators.normalbae import NNET, convert_nnet
+
+    ref = _build_ref()
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = jax.tree_util.tree_map(jnp.asarray, convert_nnet(sd))
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 3, 96, 96), np.float32)
+    with torch.no_grad():
+        outs, _, _ = ref(torch.from_numpy(x))
+        out_ref = outs[-1].numpy()  # [1, 4, 96, 96]
+
+    out = NNET().apply(params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(
+        np.transpose(out_ref, (0, 2, 3, 1)), np.asarray(out),
+        atol=1e-4, rtol=2e-3,
+    )
+
+
+def test_detector_contract(tmp_path):
+    """NormalBaeDetector: uint8 HWC in -> uint8 HWC normal map."""
+    install_shims()
+    import torch
+
+    from ctrlora_tpu.annotators.normalbae import NormalBaeDetector
+
+    ref = _build_ref()
+    ckpt = tmp_path / "scannet.pt"
+    torch.save({"model": ref.state_dict()}, ckpt)
+
+    det = NormalBaeDetector(ckpt_path=str(ckpt))
+    img = np.random.default_rng(1).integers(0, 255, (64, 96, 3), np.uint8)
+    out = det(img)
+    assert out.shape == (64, 96, 3) and out.dtype == np.uint8
+
+    # matches the reference post-processing exactly
+    with torch.no_grad():
+        t = torch.from_numpy(img).float() / 255.0
+        t = t.permute(2, 0, 1)[None]
+        mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+        std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+        normal = ref((t - mean) / std)[0][-1][:, :3]
+        normal = ((normal + 1) * 0.5).clip(0, 1)
+        expect = (normal[0].permute(1, 2, 0).numpy() * 255.0).clip(0, 255).astype(np.uint8)
+    # uint8 rounding at fp32 tolerance: allow off-by-one
+    assert np.abs(out.astype(int) - expect.astype(int)).max() <= 1
