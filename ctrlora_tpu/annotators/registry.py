@@ -167,6 +167,13 @@ def _normalbae():
     return NormalBaeDetector()
 
 
+@register("zoe")
+def _zoe():
+    from ctrlora_tpu.annotators.zoe import ZoeDetector
+
+    return ZoeDetector()
+
+
 def _stub(name: str, needs: str):
     def factory():
         raise NotImplementedError(
@@ -179,7 +186,6 @@ def _stub(name: str, needs: str):
 
 for _name, _needs in {
     "depth": "MiDaS DPT weights",
-    "zoe": "ZoeDepth weights",
     "normal": "MiDaS normal-from-depth",
     "openpose": "OpenPose body/hand/face weights",
     "seg": "UniFormer/UperNet weights",

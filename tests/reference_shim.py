@@ -173,9 +173,13 @@ def _install_timm_layers():
             tensor.normal_(mean, std).clamp_(a * std, b * std)
         return tensor
 
+    def get_act_layer(name):
+        return {"hard_swish": nn.Hardswish, "relu": nn.ReLU, "gelu": nn.GELU}[name]
+
     layers.DropPath = DropPath
     layers.to_2tuple = to_2tuple
     layers.trunc_normal_ = trunc_normal_
+    layers.get_act_layer = get_act_layer
     models.layers = layers
     sys.modules["timm.models"] = models
     sys.modules["timm.models.layers"] = layers
@@ -247,15 +251,117 @@ def _make_fake_timm():
             self.blocks = nn.ModuleList([Block(dim, heads) for _ in range(depth)])
             self.norm = nn.LayerNorm(dim, eps=1e-6)
 
+    def gen_relative_position_index(window_size):
+        """Faithful port of timm.models.beit.gen_relative_position_index."""
+        num_relative_distance = (2 * window_size[0] - 1) * (2 * window_size[1] - 1) + 3
+        coords = torch.stack(
+            torch.meshgrid(
+                [torch.arange(window_size[0]), torch.arange(window_size[1])],
+                indexing="ij",
+            )
+        )
+        coords_flatten = torch.flatten(coords, 1)
+        relative_coords = coords_flatten[:, :, None] - coords_flatten[:, None, :]
+        relative_coords = relative_coords.permute(1, 2, 0).contiguous()
+        relative_coords[:, :, 0] += window_size[0] - 1
+        relative_coords[:, :, 1] += window_size[1] - 1
+        relative_coords[:, :, 0] *= 2 * window_size[1] - 1
+        n = window_size[0] * window_size[1]
+        relative_position_index = torch.zeros(
+            (n + 1, n + 1), dtype=relative_coords.dtype
+        )
+        relative_position_index[1:, 1:] = relative_coords.sum(-1)
+        relative_position_index[0, 0:] = num_relative_distance - 3
+        relative_position_index[0:, 0] = num_relative_distance - 2
+        relative_position_index[0, 0] = num_relative_distance - 1
+        return relative_position_index
+
+    class BeitAttention(nn.Module):
+        """Structure of timm.models.beit.Attention (forwards are replaced by
+        the vendored midas_repo at runtime)."""
+
+        def __init__(self, dim, num_heads, window_size):
+            super().__init__()
+            self.num_heads = num_heads
+            head_dim = dim // num_heads
+            self.scale = head_dim**-0.5
+            self.qkv = nn.Linear(dim, dim * 3, bias=False)
+            self.q_bias = nn.Parameter(torch.zeros(dim))
+            self.v_bias = nn.Parameter(torch.zeros(dim))
+            self.register_buffer("k_bias", torch.zeros(dim), persistent=False)
+            self.window_size = window_size
+            self.num_relative_distance = (2 * window_size[0] - 1) * (
+                2 * window_size[1] - 1
+            ) + 3
+            self.relative_position_bias_table = nn.Parameter(
+                torch.zeros(self.num_relative_distance, num_heads)
+            )
+            self.register_buffer(
+                "relative_position_index",
+                gen_relative_position_index(window_size),
+                persistent=False,
+            )
+            self.attn_drop = nn.Dropout(0.0)
+            self.proj = nn.Linear(dim, dim)
+            self.proj_drop = nn.Dropout(0.0)
+
+    class BeitBlock(nn.Module):
+        def __init__(self, dim, heads, window_size):
+            super().__init__()
+            self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+            self.attn = BeitAttention(dim, heads, window_size)
+            self.drop_path = nn.Identity()
+            self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+            self.mlp = Mlp(dim, dim * 4)
+            self.gamma_1 = nn.Parameter(1e-5 * torch.ones(dim))
+            self.gamma_2 = nn.Parameter(1e-5 * torch.ones(dim))
+
+    class Beit(nn.Module):
+        def __init__(self, dim=1024, depth=24, heads=16, img=384):
+            super().__init__()
+            g = img // 16
+            self.patch_size = (16, 16)
+            self.patch_embed = PatchEmbed(dim)
+            self.patch_embed.flatten = True
+            self.patch_embed.norm = nn.Identity()
+            self.patch_embed.patch_size = (16, 16)
+            self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
+            self.pos_embed = None
+            self.pos_drop = nn.Dropout(0.0)
+            self.rel_pos_bias = None
+            self.grad_checkpointing = False
+            self.blocks = nn.ModuleList(
+                [BeitBlock(dim, heads, (g, g)) for _ in range(depth)]
+            )
+            self.norm = nn.LayerNorm(dim, eps=1e-6)
+
+    class PatchEmbed(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.proj = nn.Conv2d(3, dim, 16, 16)
+
+        def forward(self, x):  # replaced by midas_repo, kept for safety
+            x = self.proj(x)
+            return x.flatten(2).transpose(1, 2)
+
     def create_model(name, pretrained=False, **kw):
         if "vit_large_patch16_384" in name:
             return VisionTransformer(1024, 24, 16)
         if "vit_base_patch16_384" in name or "deit" in name:
             return VisionTransformer(768, 12, 12)
+        if "beit_large_patch16_384" in name:
+            return Beit(1024, 24, 16, 384)
         raise ValueError(name)
 
     timm = _module("timm")
     timm.create_model = create_model
+    timm_models = _module("timm.models")
+    beit_mod = _module("timm.models.beit")
+    beit_mod.gen_relative_position_index = gen_relative_position_index
+    timm_models.beit = beit_mod
+    timm.models = timm_models
+    sys.modules["timm.models"] = timm_models
+    sys.modules["timm.models.beit"] = beit_mod
     return timm
 
 
