@@ -174,6 +174,13 @@ def _zoe():
     return ZoeDetector()
 
 
+@register("bbox")
+def _bbox():
+    from ctrlora_tpu.annotators.bbox import BBoxDetector
+
+    return BBoxDetector()
+
+
 def _stub(name: str, needs: str):
     def factory():
         raise NotImplementedError(
@@ -192,7 +199,6 @@ for _name, _needs in {
     "seg_ofcoco": "OneFormer COCO weights",
     "seg_ofade20k": "OneFormer ADE20k weights",
     "densepose": "detectron2 DensePose",
-    "bbox": "YOLO/cvlib",
     "mlsd": "MobileV2-MLSD weights",
     "lineart": "informative-drawings generator weights",
     "lineart_anime": "anime lineart UNet weights",

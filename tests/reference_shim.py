@@ -321,7 +321,7 @@ def _make_fake_timm():
             super().__init__()
             g = img // 16
             self.patch_size = (16, 16)
-            self.patch_embed = PatchEmbed(dim)
+            self.patch_embed = BeitPatchEmbed(dim)
             self.patch_embed.flatten = True
             self.patch_embed.norm = nn.Identity()
             self.patch_embed.patch_size = (16, 16)
@@ -335,7 +335,7 @@ def _make_fake_timm():
             )
             self.norm = nn.LayerNorm(dim, eps=1e-6)
 
-    class PatchEmbed(nn.Module):
+    class BeitPatchEmbed(nn.Module):
         def __init__(self, dim):
             super().__init__()
             self.proj = nn.Conv2d(3, dim, 16, 16)
