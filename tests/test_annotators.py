@@ -59,7 +59,10 @@ def test_hed_runs_random_weights(img):
 
 
 def test_stub_annotators_raise():
+    # zoe is now a real implementation (weight-gated); oneformer remains a stub
     with pytest.raises(NotImplementedError):
+        registry.get("seg_ofade20k")
+    with pytest.raises(FileNotFoundError):
         registry.get("zoe")
 
 
