@@ -63,8 +63,13 @@ def whitespace_clean(text: str) -> str:
 
 
 def basic_clean(text: str) -> str:
-    # ftfy is unavailable offline; html unescape covers the common cases
-    return html.unescape(html.unescape(text)).strip()
+    # ftfy is unavailable offline; double html-unescape + NFC normalization
+    # covers the practically-occurring cases (ftfy additionally repairs
+    # mojibake, which clean prompt text doesn't contain)
+    import unicodedata
+
+    text = html.unescape(html.unescape(text))
+    return unicodedata.normalize("NFC", text).strip()
 
 
 class CLIPTokenizer:
