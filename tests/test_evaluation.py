@@ -1,0 +1,192 @@
+"""Parity tests for the evaluation metrics the reference gets from
+torchmetrics (reference: scripts/evaluate_control.py:65-69).
+
+Oracles are built here in torch (LPIPS: the lpips-package formula over a
+torchvision-shaped VGG16; CLIPScore: HF transformers CLIPModel), with random
+weights bridged into the jax implementations.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from ctrlora_tpu.evaluation import CLIPScorer, MetricAccumulator
+from ctrlora_tpu.models.lpips import convert_lpips, init_lpips_params, lpips
+
+
+# ---------------------------------------------------------------------------
+# LPIPS
+# ---------------------------------------------------------------------------
+
+def _torch_vgg16_features() -> nn.Sequential:
+    """torchvision vgg16().features layout (conv indices 0,2,5,7,10,...)."""
+    plan = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
+    layers, cin = [], 3
+    for b, (cout, convs) in enumerate(plan):
+        for _ in range(convs):
+            layers += [nn.Conv2d(cin, cout, 3, padding=1), nn.ReLU()]
+            cin = cout
+        layers += [nn.MaxPool2d(2, 2)]
+    return nn.Sequential(*layers)
+
+
+def _torch_lpips(sd, a, b):
+    """The lpips package's LPIPS(net='vgg') forward with normalize=True."""
+    feats = _torch_vgg16_features()
+    feats.load_state_dict(
+        {k[len("features."):]: torch.as_tensor(v)
+         for k, v in sd.items() if k.startswith("features.")}
+    )
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+    taps_at = {3, 8, 15, 22, 29}
+
+    def taps(x):
+        out = []
+        for i, layer in enumerate(feats):
+            x = layer(x)
+            if i in taps_at:
+                out.append(x)
+        return out
+
+    a = (2 * a - 1 - shift) / scale
+    b = (2 * b - 1 - shift) / scale
+    total = 0.0
+    for k, (fa, fb) in enumerate(zip(taps(a), taps(b))):
+        na = fa / (fa.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+        nb = fb / (fb.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+        w = torch.as_tensor(sd[f"lin{k}.model.1.weight"])
+        total = total + F.conv2d((na - nb) ** 2, w).mean(dim=(1, 2, 3))
+    return total
+
+
+def _random_lpips_sd(rng):
+    plan = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
+    idx = [(0, 2), (5, 7), (10, 12, 14), (17, 19, 21), (24, 26, 28)]
+    sd, cin = {}, 3
+    for (cout, _), layer_idx in zip(plan, idx):
+        for i in layer_idx:
+            # kaiming-ish gain < 1 per layer so deep random nets don't blow up
+            sd[f"features.{i}.weight"] = rng.normal(
+                0, (1.0 / (9 * cin)) ** 0.5, (cout, cin, 3, 3)
+            ).astype(np.float32)
+            sd[f"features.{i}.bias"] = rng.normal(0, 0.01, (cout,)).astype(np.float32)
+            cin = cout
+    for k, (cout, _) in enumerate(plan):
+        sd[f"lin{k}.model.1.weight"] = rng.uniform(
+            0, 0.1, (1, cout, 1, 1)
+        ).astype(np.float32)
+    return sd
+
+
+def test_lpips_parity(rng):
+    sd = _random_lpips_sd(rng)
+    a = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    b = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        want = _torch_lpips(
+            sd,
+            torch.as_tensor(a).permute(0, 3, 1, 2),
+            torch.as_tensor(b).permute(0, 3, 1, 2),
+        ).numpy()
+    got = np.asarray(lpips(convert_lpips(sd), a, b))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_lpips_lpips_package_key_naming(rng):
+    """The lpips pip package saves VGG weights as net.slice{k}.{i}.*."""
+    sd = _random_lpips_sd(rng)
+    renamed = {}
+    slices = [(0, range(0, 4)), (1, range(4, 9)), (2, range(9, 16)),
+              (3, range(16, 23)), (4, range(23, 30))]
+    for k, v in sd.items():
+        if k.startswith("features."):
+            i = int(k.split(".")[1])
+            s = next(si for si, r in slices if i in r)
+            renamed[f"net.slice{s + 1}.{i}." + k.split(".")[2]] = v
+        else:
+            renamed[k] = v
+    a = rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
+    b = rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
+    got1 = np.asarray(lpips(convert_lpips(sd), a, b))
+    got2 = np.asarray(lpips(convert_lpips(renamed), a, b))
+    np.testing.assert_allclose(got1, got2, rtol=0, atol=0)
+
+
+def test_lpips_identical_images_zero(rng):
+    params = init_lpips_params(__import__("jax").random.PRNGKey(0))
+    a = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    d = np.asarray(lpips(params, a, a))
+    np.testing.assert_allclose(d, 0.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# CLIPScore
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_clip():
+    from transformers import CLIPConfig, CLIPModel
+
+    cfg = CLIPConfig.from_text_vision_configs(
+        text_config=__import__("transformers").CLIPTextConfig(
+            vocab_size=49408, hidden_size=64, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=1,
+            max_position_embeddings=77, eos_token_id=49407,
+        ),
+        vision_config=__import__("transformers").CLIPVisionConfig(
+            hidden_size=64, intermediate_size=256, num_hidden_layers=2,
+            num_attention_heads=1, image_size=32, patch_size=8,
+        ),
+        projection_dim=48,
+    )
+    torch.manual_seed(0)
+    model = CLIPModel(cfg).eval()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    return model, sd
+
+
+def test_clip_score_parity(tiny_clip, rng):
+    model, sd = tiny_clip
+    scorer = CLIPScorer.from_torch_state(sd)
+    # bypass image preprocessing (separately covered by the resize contract):
+    # feed identical pre-normalized pixels to both towers
+    pixels = rng.normal(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    prompts = ["a photograph of an astronaut riding a horse", "a cat"]
+    ids = scorer.tokenizer(prompts)
+
+    with torch.no_grad():
+        img_t = model.get_image_features(
+            pixel_values=torch.as_tensor(pixels).permute(0, 3, 1, 2)
+        )
+        txt_t = model.get_text_features(input_ids=torch.as_tensor(ids.astype(np.int64)))
+        img_t = img_t / img_t.norm(dim=-1, keepdim=True)
+        txt_t = txt_t / txt_t.norm(dim=-1, keepdim=True)
+        want = (100 * (img_t * txt_t).sum(-1)).numpy()
+
+    import jax.numpy as jnp
+
+    img = scorer.vision_apply(scorer.vision_params, jnp.asarray(pixels))
+    txt = scorer.text_apply(scorer.text_params, jnp.asarray(ids))
+    img = np.asarray(img / jnp.linalg.norm(img, axis=-1, keepdims=True))
+    txt = np.asarray(txt / jnp.linalg.norm(txt, axis=-1, keepdims=True))
+    got = 100.0 * np.sum(img * txt, axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_accumulator_all_five_metrics(tiny_clip, rng):
+    _, sd = tiny_clip
+    scorer = CLIPScorer.from_torch_state(sd)
+    lp = init_lpips_params(__import__("jax").random.PRNGKey(1))
+    acc = MetricAccumulator(lpips_params=lp, clip_scorer=scorer)
+    control = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    gt = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    sample = (rng.uniform(0, 255, (2, 64, 64, 3))).astype(np.uint8)
+    acc.update(control, gt, sample=sample, prompts=["a dog", "a house"])
+    out = acc.compute()
+    assert set(out) == {"mse", "psnr", "ssim", "lpips", "clip score"}
+    assert all(np.isfinite(v) for v in out.values())
+    assert out["clip score"] >= 0.0
