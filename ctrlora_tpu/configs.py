@@ -191,6 +191,12 @@ class TrainConfig:
     zero_trainable: bool = True
     sd_locked: bool = True
     prompt_dropout: float = 0.3
+    # EMA of the trainable params (reference: ldm/modules/ema.py LitEma via
+    # use_ema, hooked at ddpm.py:465-467; all shipped configs say False)
+    use_ema: bool = False
+    ema_decay: float = 0.9999
+    # ZeRO-style optimizer-state sharding over the data mesh axis
+    shard_opt_state: bool = False
     seed: int = 42
     log_every: int = 100
     ckpt_every: int = 10_000

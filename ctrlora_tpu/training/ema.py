@@ -1,13 +1,25 @@
 """Exponential moving average of parameters (reference: ldm/modules/ema.py
-LitEma — decay min(decay, (1+updates)/(10+updates)), every ctrlora config
-ships use_ema: False but the subsystem exists for parity)."""
+LitEma — decay min(decay, (1+updates)/(10+updates)); hooked by the trainer
+behind TrainConfig.use_ema, as the reference hooks it at ddpm.py:465-467;
+every shipped ctrlora config sets use_ema: False).
+
+To avoid shadowing the ~1.2B frozen params, the shadow tree stores a 0-size
+placeholder for leaves whose trainable-mask entry is False; `ema_params`
+swaps in the shadow wherever its shape matches the live param.
+"""
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+
+_PLACEHOLDER = None  # built lazily per-leaf as a 0-size array
+
+
+def _placeholder():
+    return jnp.zeros((0,), jnp.float32)
 
 
 class EmaState(NamedTuple):
@@ -15,19 +27,44 @@ class EmaState(NamedTuple):
     updates: jnp.ndarray  # int32 counter
 
 
-def ema_init(params) -> EmaState:
-    return EmaState(jax.tree_util.tree_map(jnp.asarray, params), jnp.zeros((), jnp.int32))
+def ema_init(params, mask: Optional[Any] = None) -> EmaState:
+    """Shadow copy of `params`; with `mask`, only True leaves are shadowed
+    (False leaves hold a 0-size placeholder)."""
+    if mask is None:
+        shadow = jax.tree_util.tree_map(jnp.asarray, params)
+    else:
+        shadow = jax.tree_util.tree_map(
+            lambda p, m: jnp.asarray(p) if m else _placeholder(), params, mask
+        )
+    return EmaState(shadow, jnp.zeros((), jnp.int32))
 
 
-def ema_update(state: EmaState, new_params, decay: float = 0.9999) -> EmaState:
+def ema_update(
+    state: EmaState, new_params, decay: float = 0.9999, mask: Optional[Any] = None
+) -> EmaState:
     updates = state.updates + 1
     d = jnp.minimum(decay, (1.0 + updates) / (10.0 + updates))
-    ema = jax.tree_util.tree_map(
-        lambda e, p: e - (1.0 - d) * (e - p.astype(e.dtype)), state.params, new_params
-    )
+
+    def upd(e, p):
+        return e - (1.0 - d) * (e - p.astype(e.dtype))
+
+    if mask is None:
+        ema = jax.tree_util.tree_map(upd, state.params, new_params)
+    else:
+        ema = jax.tree_util.tree_map(
+            lambda e, p, m: upd(e, p) if m else e, state.params, new_params, mask
+        )
     return EmaState(ema, updates)
 
 
+def ema_params(params, ema: EmaState):
+    """Evaluation params: shadow values where tracked, live values elsewhere
+    (the reference's ema_scope swap, ldm/models/diffusion/ddpm.py:185-199)."""
+    return jax.tree_util.tree_map(
+        lambda p, e: e if e.shape == p.shape else p, params, ema.params
+    )
+
+
 def ema_swap(params, ema: EmaState):
-    """Return EMA params for evaluation (the reference's ema_scope)."""
+    """Back-compat alias: full-shadow EMA params."""
     return ema.params

@@ -79,8 +79,12 @@ def make_train_step(
     tx: optax.GradientTransformation,
     cfg: TrainConfig,
     donate: bool = True,
+    mask: Optional[Params] = None,
 ):
-    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+    """Returns jitted (state, batch, rng) -> (state, metrics).
+
+    `mask` (the trainable mask) bounds the EMA shadow to trained leaves when
+    cfg.use_ema; without it the shadow covers the full tree."""
 
     def grads_for(params, batch, rng):
         return jax.grad(
@@ -112,6 +116,11 @@ def make_train_step(
             (grads.control, grads.unet) if grads.control is not None else grads.unet
         )
         metrics = dict(metrics, grad_norm=gnorm)
-        return TrainState(state.step + 1, params, opt_state), metrics
+        ema = state.ema
+        if cfg.use_ema and ema is not None:
+            from ctrlora_tpu.training.ema import ema_update
+
+            ema = ema_update(ema, params, cfg.ema_decay, mask)
+        return TrainState(state.step + 1, params, opt_state, ema), metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

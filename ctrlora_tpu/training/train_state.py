@@ -119,6 +119,7 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
     params: Params
     opt_state: Any
+    ema: Any = None  # EmaState when TrainConfig.use_ema, else None
 
 
 def create_train_state(
@@ -127,4 +128,9 @@ def create_train_state(
     mask = trainable_mask(params, cfg, xs=xs)
     tx = make_optimizer(cfg, mask)
     opt_state = tx.init(params)
-    return TrainState(jnp.zeros((), jnp.int32), params, opt_state), tx, mask
+    ema = None
+    if cfg.use_ema:
+        from ctrlora_tpu.training.ema import ema_init
+
+        ema = ema_init(params, mask)
+    return TrainState(jnp.zeros((), jnp.int32), params, opt_state, ema), tx, mask

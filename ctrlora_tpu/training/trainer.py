@@ -42,10 +42,23 @@ class Trainer:
         params = params if params is not None else pipe.init(jax.random.PRNGKey(cfg.seed))
         is_xs = pipe.cfg.control is not None and pipe.cfg.control.variant == "xs"
         self.state, self.tx, self.mask = create_train_state(params, cfg, xs=is_xs)
-        self.step_fn = make_train_step(pipe, self.tx, cfg)
+        self.step_fn = make_train_step(pipe, self.tx, cfg, mask=self.mask)
         self.mesh = create_mesh() if use_mesh else None
         if self.mesh is not None:
-            self.state = replicate(self.mesh, self.state)
+            if cfg.shard_opt_state:
+                # ZeRO-style: replicate params (forward stays gather-free),
+                # shard the Adam moments — the largest training buffers —
+                # over the data axis
+                from ctrlora_tpu.parallel.mesh import shard_largest_axis
+
+                self.state = self.state._replace(
+                    step=replicate(self.mesh, self.state.step),
+                    params=replicate(self.mesh, self.state.params),
+                    opt_state=shard_largest_axis(self.mesh, self.state.opt_state),
+                    ema=replicate(self.mesh, self.state.ema),
+                )
+            else:
+                self.state = replicate(self.mesh, self.state)
         n_train = count_trainable(self.state.params, self.mask)
         self._log_host(
             {"event": "init", "trainable_params_m": round(n_train / 1e6, 2),
@@ -106,6 +119,16 @@ class Trainer:
         return self.state
 
     # ------------------------------------------------------------------
+    def eval_params(self):
+        """Params for evaluation/sampling: the EMA shadow when enabled
+        (the reference's ema_scope), else the live params."""
+        if self.cfg.use_ema and self.state.ema is not None:
+            from ctrlora_tpu.training.ema import ema_params
+
+            return ema_params(self.state.params, self.state.ema)
+        return self.state.params
+
+    # ------------------------------------------------------------------
     def save(self, step: int) -> str:
         path = os.path.join(self.workdir, f"ckpt_{step:08d}")
         save_train_state(path, self.state)
@@ -139,6 +162,10 @@ def make_image_log_hook(pipe: CtrLoraPipeline, workdir: str, ddim_steps: int = 2
         from PIL import Image
 
         params = state.params
+        if state.ema is not None:
+            from ctrlora_tpu.training.ema import ema_params
+
+            params = ema_params(params, state.ema)
         B = min(2, batch["jpg"].shape[0])
         ids = jnp.asarray(batch["token_ids"][:B])
         ctx = pipe.encode_text_tokens(params, ids)

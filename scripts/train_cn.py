@@ -42,6 +42,8 @@ def main():
     p.add_argument("--img_logger_freq", type=int, default=1000)
     p.add_argument("--ckpt_logger_freq", type=int, default=1000)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--use_ema", action="store_true", help="EMA of trainable params")
+    p.add_argument("--shard_opt_state", action="store_true", help="ZeRO-style Adam-moment sharding")
     p.add_argument("--num_workers", type=int, default=16)
     args = p.parse_args()
 
@@ -88,6 +90,7 @@ def main():
         learning_rate=args.lr, batch_size=args.bs, grad_accum=args.gradacc,
         max_steps=args.max_steps, trainable="all", seed=args.seed,
         ckpt_every=args.ckpt_logger_freq, image_log_every=args.img_logger_freq,
+        use_ema=args.use_ema, shard_opt_state=args.shard_opt_state,
     )
     name = args.name or datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
     trainer = Trainer(pipe, tcfg, os.path.join("runs", name), params=params)

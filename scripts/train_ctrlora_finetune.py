@@ -50,6 +50,8 @@ def main():
     p.add_argument("--ckpt_logger_freq", type=int, default=1000)
     p.add_argument("--name", type=str, default=None)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--use_ema", action="store_true", help="EMA of trainable params")
+    p.add_argument("--shard_opt_state", action="store_true", help="ZeRO-style Adam-moment sharding")
     p.add_argument("--num_workers", type=int, default=8)
     args = p.parse_args()
 
@@ -99,6 +101,7 @@ def main():
         trainable="lora" if args.ft_with_lora else "full",
         norm_trainable=args.norm_trainable, seed=args.seed,
         ckpt_every=args.ckpt_logger_freq, image_log_every=args.img_logger_freq,
+        use_ema=args.use_ema, shard_opt_state=args.shard_opt_state,
     )
     import datetime
 

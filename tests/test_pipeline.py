@@ -227,3 +227,46 @@ def test_fsdp_opt_state_sharding():
         return losses
 
     np.testing.assert_allclose(run(True), run(False), rtol=1e-4)
+
+
+def test_trainer_ema_and_shard_opt_state(tmp_path):
+    """use_ema + shard_opt_state wired through the Trainer (reference hooks
+    LitEma at ddpm.py:465-467), including a ckpt save/restore roundtrip."""
+    from ctrlora_tpu.training.trainer import Trainer
+
+    pipe, params = make_pipe()
+    cfg = TrainConfig(
+        learning_rate=1e-3, trainable="lora", use_ema=True,
+        shard_opt_state=True, max_steps=3, log_every=1, ckpt_every=100,
+    )
+    tr = Trainer(pipe, cfg, str(tmp_path / "run"), params=params)
+    state = tr.fit([make_batch(B=8) for _ in range(3)])
+    assert int(state.step) == 3
+    assert state.ema is not None and int(state.ema.updates) == 3
+
+    # eval params lag behind live params on trainable leaves (EMA warmup),
+    # but match exactly on frozen leaves (the shadow never tracked them)
+    ev = tr.eval_params()
+    lagging = matching = 0
+    for (pth, e), (_, p), (_, m) in zip(
+        jax.tree_util.tree_leaves_with_path(ev),
+        jax.tree_util.tree_leaves_with_path(state.params),
+        jax.tree_util.tree_leaves_with_path(tr.mask),
+    ):
+        d = float(jnp.max(jnp.abs(e - p))) if e.size else 0.0
+        if m and d > 0:
+            lagging += 1
+        if not m:
+            assert d == 0.0, jax.tree_util.keystr(pth)
+            matching += 1
+    assert lagging > 0 and matching > 0
+
+    path = tr.save(3)
+    tr2 = Trainer(pipe, cfg, str(tmp_path / "run2"), params=params)
+    tr2.restore(path)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(tr2.state.ema.params),
+        jax.tree_util.tree_leaves(state.ema.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(tr2.state.step) == 3
