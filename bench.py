@@ -64,17 +64,27 @@ def _peak_tflops() -> float | None:
     return None
 
 
-def _compiled_flops(compiled) -> float | None:
-    """Total FLOPs of one call, as counted by XLA's HLO cost analysis
-    (a MAC counts as 2 FLOPs). None if the backend doesn't report it."""
+def _traced_flops(fn, *args) -> float | None:
+    """Analytic dot+conv FLOPs of one call (MAC = 2 FLOPs), scan-aware.
+
+    Traced with flash attention disabled so the Pallas kernels are counted
+    via their exact XLA-attention equivalent (XLA's compiled cost_analysis
+    counts scan bodies once, under-reporting a 50-step DDIM ~50x)."""
+    import os
+
+    from ctrlora_tpu.utils.flops import fn_flops
+
+    old = os.environ.get("CTRLORA_NO_FLASH")
+    os.environ["CTRLORA_NO_FLASH"] = "1"
     try:
-        stats = compiled.cost_analysis()
-        if isinstance(stats, (list, tuple)):
-            stats = stats[0] if stats else {}
-        f = float(stats.get("flops", 0.0))
-        return f if f > 0 else None
+        return fn_flops(fn, *args)
     except Exception:
         return None
+    finally:
+        if old is None:
+            os.environ.pop("CTRLORA_NO_FLASH", None)
+        else:
+            os.environ["CTRLORA_NO_FLASH"] = old
 
 
 class _MaybeProfile:
@@ -142,9 +152,9 @@ def bench_sampling(args) -> dict:
         return pipe.decode_first_stage(params, z)
 
     rng = jax.random.PRNGKey(1)
+    flops = _traced_flops(sample, params, fused, hint, ids, rng)
     jitted = jax.jit(sample)
     compiled = jitted.lower(params, fused, hint, ids, rng).compile()
-    flops = _compiled_flops(compiled)
 
     # warm up + force a REAL host transfer: on remote-execution backends
     # block_until_ready alone can return before the computation ran
