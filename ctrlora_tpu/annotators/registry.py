@@ -160,6 +160,20 @@ def _seg():
     return UniformerDetector()
 
 
+@register("seg_ofcoco")
+def _seg_ofcoco():
+    from ctrlora_tpu.annotators.oneformer import OneformerCOCODetector
+
+    return OneformerCOCODetector()
+
+
+@register("seg_ofade20k")
+def _seg_ofade20k():
+    from ctrlora_tpu.annotators.oneformer import OneformerADE20kDetector
+
+    return OneformerADE20kDetector()
+
+
 @register("normalbae")
 def _normalbae():
     from ctrlora_tpu.annotators.normalbae import NormalBaeDetector
@@ -196,8 +210,6 @@ for _name, _needs in {
     "normal": "MiDaS normal-from-depth",
     "openpose": "OpenPose body/hand/face weights",
     "seg": "UniFormer/UperNet weights",
-    "seg_ofcoco": "OneFormer COCO weights",
-    "seg_ofade20k": "OneFormer ADE20k weights",
     "densepose": "detectron2 DensePose",
     "mlsd": "MobileV2-MLSD weights",
     "lineart": "informative-drawings generator weights",

@@ -373,3 +373,137 @@ def reference_available() -> bool:
     except ImportError:
         return False
     return os.path.isdir(REFERENCE_ROOT)
+
+
+# ---------------------------------------------------------------------------
+# OneFormer oracle: import the vendored torch modules with a faked
+# detectron2 surface (the real vendored detectron2 needs yacs/fvcore/iopath;
+# the model classes only touch configurable/Conv2d/ShapeSpec/get_norm and
+# two registries, which are replicated faithfully below)
+# ---------------------------------------------------------------------------
+
+def install_oneformer_shims():
+    import torch
+    import torch.nn as nn
+
+    install_shims()  # timm fake etc.
+
+    class _Registry:
+        def __init__(self, name):
+            self._name, self._map = name, {}
+
+        def register(self, obj=None):
+            if obj is None:
+                def deco(cls):
+                    self._map[cls.__name__] = cls
+                    return cls
+                return deco
+            self._map[obj.__name__] = obj
+            return obj
+
+        def get(self, name):
+            return self._map[name]
+
+    if "fvcore" not in sys.modules:
+        fv, fvn, wi = _module("fvcore"), _module("fvcore.nn"), _module("fvcore.nn.weight_init")
+
+        def c2_xavier_fill(m):
+            nn.init.kaiming_uniform_(m.weight, a=1)
+            if m.bias is not None:
+                nn.init.constant_(m.bias, 0)
+
+        def c2_msra_fill(m):
+            nn.init.kaiming_normal_(m.weight, mode="fan_out", nonlinearity="relu")
+            if m.bias is not None:
+                nn.init.constant_(m.bias, 0)
+
+        wi.c2_xavier_fill, wi.c2_msra_fill = c2_xavier_fill, c2_msra_fill
+        fvn.weight_init, fv.nn = wi, fvn
+        sys.modules.update({"fvcore": fv, "fvcore.nn": fvn, "fvcore.nn.weight_init": wi})
+
+    d2 = "annotator.oneformer.detectron2"
+    if d2 not in sys.modules:
+        def configurable(init_func=None, *, from_config=None):
+            if init_func is not None:
+                return init_func
+            return lambda f: f
+
+        class ShapeSpec:
+            def __init__(self, channels=None, height=None, width=None, stride=None):
+                self.channels, self.height = channels, height
+                self.width, self.stride = width, stride
+
+        def get_norm(norm, out_channels):
+            if norm in (None, ""):
+                return None
+            if norm == "GN":
+                return nn.GroupNorm(32, out_channels)
+            raise NotImplementedError(norm)
+
+        class Conv2d(nn.Conv2d):  # detectron2.layers.wrappers.Conv2d semantics
+            def __init__(self, *args, **kwargs):
+                norm = kwargs.pop("norm", None)
+                activation = kwargs.pop("activation", None)
+                super().__init__(*args, **kwargs)
+                self.norm, self.activation = norm, activation
+
+            def forward(self, x):
+                x = nn.Conv2d.forward(self, x)
+                if self.norm is not None:
+                    x = self.norm(x)
+                if self.activation is not None:
+                    x = self.activation(x)
+                return x
+
+        root = _module(d2)
+        cfgm = _module(d2 + ".config")
+        cfgm.configurable = configurable
+        layers = _module(d2 + ".layers")
+        layers.Conv2d, layers.ShapeSpec, layers.get_norm = Conv2d, ShapeSpec, get_norm
+        modeling = _module(d2 + ".modeling")
+        modeling.SEM_SEG_HEADS_REGISTRY = _Registry("SEM_SEG_HEADS")
+        modeling.BACKBONE_REGISTRY = _Registry("BACKBONE")
+        modeling.Backbone = nn.Module
+        modeling.ShapeSpec = ShapeSpec
+        utils = _module(d2 + ".utils")
+        reg = _module(d2 + ".utils.registry")
+        reg.Registry = _Registry
+        utils.registry = reg
+        root.config, root.layers, root.modeling, root.utils = cfgm, layers, modeling, utils
+        sys.modules.update({
+            d2: root, d2 + ".config": cfgm, d2 + ".layers": layers,
+            d2 + ".modeling": modeling, d2 + ".utils": utils,
+            d2 + ".utils.registry": reg,
+        })
+
+    # parent packages faked with real __path__ so leaf modules load from
+    # disk without executing the heavyweight package __init__ files
+    base = REFERENCE_ROOT + "/annotator/oneformer/oneformer"
+    for pkg, path in [
+        ("annotator", REFERENCE_ROOT + "/annotator"),
+        ("annotator.oneformer", REFERENCE_ROOT + "/annotator/oneformer"),
+        ("annotator.oneformer.oneformer", base),
+        ("annotator.oneformer.oneformer.modeling", base + "/modeling"),
+        ("annotator.oneformer.oneformer.modeling.backbone", base + "/modeling/backbone"),
+        ("annotator.oneformer.oneformer.modeling.pixel_decoder", base + "/modeling/pixel_decoder"),
+        ("annotator.oneformer.oneformer.modeling.pixel_decoder.ops", base + "/modeling/pixel_decoder/ops"),
+        ("annotator.oneformer.oneformer.modeling.transformer_decoder", base + "/modeling/transformer_decoder"),
+    ]:
+        if pkg not in sys.modules:
+            m = _module(pkg)
+            m.__path__ = [path]
+            sys.modules[pkg] = m
+
+    import importlib
+
+    swin = importlib.import_module(
+        "annotator.oneformer.oneformer.modeling.backbone.swin"
+    )
+    msda = importlib.import_module(
+        "annotator.oneformer.oneformer.modeling.pixel_decoder.msdeformattn"
+    )
+    dec = importlib.import_module(
+        "annotator.oneformer.oneformer.modeling.transformer_decoder.oneformer_transformer_decoder"
+    )
+    shape_spec = sys.modules[d2 + ".layers"].ShapeSpec
+    return swin, msda, dec, shape_spec

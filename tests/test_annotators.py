@@ -59,8 +59,11 @@ def test_hed_runs_random_weights(img):
 
 
 def test_stub_annotators_raise():
-    # zoe is now a real implementation (weight-gated); oneformer remains a stub
+    # zoe/oneformer are now real implementations (weight-gated); densepose
+    # remains a declared stub
     with pytest.raises(NotImplementedError):
+        registry.get("densepose")
+    with pytest.raises(FileNotFoundError):
         registry.get("seg_ofade20k")
     with pytest.raises(FileNotFoundError):
         registry.get("zoe")
