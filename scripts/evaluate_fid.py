@@ -1,12 +1,15 @@
 #!/usr/bin/env python
-"""Frechet distance between sample and reference image sets.
+"""Frechet distance + Inception Score between sample and reference sets.
 
 The reference points users at the external torch-fidelity CLI for FID/IS
-(README-traineval.md:317-321; InceptionV3 weights are not shippable here).
-This harness computes the same Frechet statistic over ANY feature extractor;
-with a CLIP ViT image-encoder checkpoint it yields CLIP-FID (Kynkäänniemi et
-al. 2022), a drop-in and often better-behaved variant.
+(README-traineval.md:317-321). Both of its metrics are native here:
+--inception_ckpt runs the in-tree FID InceptionV3 port
+(models/inception.py, pytorch-fid protocol — comparable with published
+numbers), --image_encoder runs CLIP-FID (Kynkäänniemi et al. 2022) over a
+CLIP ViT image tower.
 
+  python scripts/evaluate_fid.py --dir_a out/sample --dir_b data/val \
+      --inception_ckpt ckpts/pt_inception-2015-12-05-6726825d.pth
   python scripts/evaluate_fid.py --dir_a out/sample --dir_b data/val \
       --image_encoder ckpts/ip-adapter/image_encoder.bin
 """
@@ -70,19 +73,65 @@ def clip_features(image_dir: str, encoder_ckpt: str, bs: int = 32) -> np.ndarray
     return np.concatenate(feats)
 
 
+def inception_outputs(image_dir: str, ckpt: str, bs: int = 32):
+    """pool3 features + fc logits via the FID InceptionV3 port
+    (models/inception.py; pt_inception-2015-12-05 weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ctrlora_tpu.data.datasets import imread_rgb
+    from ctrlora_tpu.models.inception import (
+        convert_inception, fid_preprocess, inception_features,
+    )
+    from ctrlora_tpu.utils.ckpt_torch import load_torch_state_dict
+
+    params = convert_inception(load_torch_state_dict(ckpt))
+    apply = jax.jit(inception_features)
+    names = sorted(os.listdir(image_dir))
+    feats, logits = [], []
+    for i in range(0, len(names), bs):
+        imgs = [imread_rgb(os.path.join(image_dir, n)) for n in names[i : i + bs]]
+        imgs = [im for im in imgs if im is not None]
+        if not imgs:
+            continue
+        x = fid_preprocess(np.stack(imgs))
+        f, l = apply(params, jnp.asarray(x))
+        feats.append(np.asarray(f))
+        logits.append(np.asarray(l))
+    return np.concatenate(feats), np.concatenate(logits)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dir_a", required=True)
-    p.add_argument("--dir_b", required=True)
-    p.add_argument("--image_encoder", required=True, help="CLIP vision ckpt")
+    p.add_argument("--dir_b", default=None, help="reference set (omit for IS-only)")
+    p.add_argument("--image_encoder", default=None, help="CLIP vision ckpt (CLIP-FID)")
+    p.add_argument("--inception_ckpt", default=None,
+                   help="pt_inception-2015-12-05 ckpt (Inception-FID + IS)")
     p.add_argument("--bs", type=int, default=32)
     args = p.parse_args()
+    assert args.image_encoder or args.inception_ckpt, (
+        "provide --image_encoder (CLIP-FID) and/or --inception_ckpt"
+    )
 
-    fa = clip_features(args.dir_a, args.image_encoder, args.bs)
-    fb = clip_features(args.dir_b, args.image_encoder, args.bs)
-    print(f"features: {fa.shape[0]} vs {fb.shape[0]} ({fa.shape[1]}-d)")
-    fid = frechet_distance(*stats(fa), *stats(fb))
-    print(f"CLIP-FID: {fid:.4f}")
+    if args.inception_ckpt:
+        from ctrlora_tpu.models.inception import inception_score
+
+        fa, la = inception_outputs(args.dir_a, args.inception_ckpt, args.bs)
+        is_mean, is_std = inception_score(la)
+        print(f"IS: {is_mean:.4f} +/- {is_std:.4f}")
+        if args.dir_b:
+            fb, _ = inception_outputs(args.dir_b, args.inception_ckpt, args.bs)
+            print(f"features: {fa.shape[0]} vs {fb.shape[0]} ({fa.shape[1]}-d)")
+            print(f"FID: {frechet_distance(*stats(fa), *stats(fb)):.4f}")
+
+    if args.image_encoder:
+        assert args.dir_b, "CLIP-FID needs --dir_b"
+        fa = clip_features(args.dir_a, args.image_encoder, args.bs)
+        fb = clip_features(args.dir_b, args.image_encoder, args.bs)
+        print(f"features: {fa.shape[0]} vs {fb.shape[0]} ({fa.shape[1]}-d)")
+        fid = frechet_distance(*stats(fa), *stats(fb))
+        print(f"CLIP-FID: {fid:.4f}")
 
 
 if __name__ == "__main__":
