@@ -174,6 +174,13 @@ def _seg_ofade20k():
     return OneformerADE20kDetector()
 
 
+@register("densepose")
+def _densepose():
+    from ctrlora_tpu.annotators.densepose import DenseposeDetector
+
+    return DenseposeDetector()
+
+
 @register("normalbae")
 def _normalbae():
     from ctrlora_tpu.annotators.normalbae import NormalBaeDetector
@@ -210,7 +217,6 @@ for _name, _needs in {
     "normal": "MiDaS normal-from-depth",
     "openpose": "OpenPose body/hand/face weights",
     "seg": "UniFormer/UperNet weights",
-    "densepose": "detectron2 DensePose",
     "mlsd": "MobileV2-MLSD weights",
     "lineart": "informative-drawings generator weights",
     "lineart_anime": "anime lineart UNet weights",

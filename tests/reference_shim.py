@@ -507,3 +507,77 @@ def install_oneformer_shims():
     )
     shape_spec = sys.modules[d2 + ".layers"].ShapeSpec
     return swin, msda, dec, shape_spec
+
+
+def install_densepose_shims():
+    """Extend the oneformer fakes so the vendored detectron2 resnet.py /
+    fpn.py import for use as a DensePose backbone oracle: the fake
+    `detectron2.modeling` package gains a real __path__, and the layers
+    fake gains CNNBlockBase / FrozenBatchNorm2d / deform-conv stubs."""
+    import torch
+    import torch.nn as nn
+
+    install_oneformer_shims()
+    d2 = "annotator.oneformer.detectron2"
+    layers = sys.modules[d2 + ".layers"]
+
+    if not hasattr(layers, "CNNBlockBase"):
+        class CNNBlockBase(nn.Module):
+            def __init__(self, in_channels, out_channels, stride):
+                super().__init__()
+                self.in_channels = in_channels
+                self.out_channels = out_channels
+                self.stride = stride
+
+            def freeze(self):
+                for p in self.parameters():
+                    p.requires_grad = False
+                return self
+
+        class FrozenBatchNorm2d(nn.Module):  # detectron2 semantics, eps 1e-5
+            def __init__(self, num_features, eps=1e-5):
+                super().__init__()
+                self.eps = eps
+                self.register_buffer("weight", torch.ones(num_features))
+                self.register_buffer("bias", torch.zeros(num_features))
+                self.register_buffer("running_mean", torch.zeros(num_features))
+                self.register_buffer("running_var", torch.ones(num_features))
+
+            def forward(self, x):
+                scale = self.weight * (self.running_var + self.eps).rsqrt()
+                bias = self.bias - self.running_mean * scale
+                return x * scale.view(1, -1, 1, 1) + bias.view(1, -1, 1, 1)
+
+        class _DeformStub(nn.Module):
+            def __init__(self, *a, **k):
+                raise NotImplementedError("deform conv not used in this oracle")
+
+        layers.CNNBlockBase = CNNBlockBase
+        layers.FrozenBatchNorm2d = FrozenBatchNorm2d
+        layers.DeformConv = _DeformStub
+        layers.ModulatedDeformConv = _DeformStub
+        _old_get_norm = layers.get_norm
+
+        def get_norm(norm, out_channels):
+            if norm == "FrozenBN":
+                return FrozenBatchNorm2d(out_channels)
+            if norm == "BN":
+                return nn.BatchNorm2d(out_channels)
+            return _old_get_norm(norm, out_channels)
+
+        layers.get_norm = get_norm
+
+    modeling = sys.modules[d2 + ".modeling"]
+    real = REFERENCE_ROOT + "/annotator/oneformer/detectron2/modeling"
+    if not hasattr(modeling, "__path__"):
+        modeling.__path__ = [real]
+    if d2 + ".modeling.backbone" not in sys.modules:
+        pkg = _module(d2 + ".modeling.backbone")
+        pkg.__path__ = [real + "/backbone"]
+        sys.modules[d2 + ".modeling.backbone"] = pkg
+
+    import importlib
+
+    resnet = importlib.import_module(d2 + ".modeling.backbone.resnet")
+    fpn = importlib.import_module(d2 + ".modeling.backbone.fpn")
+    return resnet, fpn, sys.modules[d2 + ".layers"].ShapeSpec

@@ -59,14 +59,11 @@ def test_hed_runs_random_weights(img):
 
 
 def test_stub_annotators_raise():
-    # zoe/oneformer are now real implementations (weight-gated); densepose
-    # remains a declared stub
-    with pytest.raises(NotImplementedError):
-        registry.get("densepose")
-    with pytest.raises(FileNotFoundError):
-        registry.get("seg_ofade20k")
-    with pytest.raises(FileNotFoundError):
-        registry.get("zoe")
+    # every condition is now a real implementation; heavyweight ones are
+    # weight-gated with a download pointer
+    for name in ("densepose", "seg_ofade20k", "seg_ofcoco", "zoe"):
+        with pytest.raises(FileNotFoundError):
+            registry.get(name)
 
 
 def test_util_helpers(img):
