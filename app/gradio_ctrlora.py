@@ -59,8 +59,8 @@ def ui_process(det, detected, prompt, a_prompt_sel, n_prompt_sel, extra_prompt,
 
 
 def ui_process2(detected, detected2, prompt, n_prompt, num_samples, ddim_steps,
-                strength, scale, seed, eta, sd_ckpt, cn_ckpt, lora_ckpt,
-                lora2_ckpt, w1, w2):
+                guess_mode, strength, scale, seed, eta, sd_ckpt, cn_ckpt,
+                lora_ckpt, lora2_ckpt, w1, w2):
     return state.process2(
         detected, detected2, prompt, n_prompt, int(num_samples),
         int(ddim_steps), float(strength), float(scale), int(seed), float(eta),
@@ -68,7 +68,7 @@ def ui_process2(detected, detected2, prompt, n_prompt, num_samples, ddim_steps,
         os.path.join(CKPT_BASECN_DIR, cn_ckpt),
         os.path.join(CKPT_LORA_DIR, lora_ckpt),
         os.path.join(CKPT_LORA_DIR, lora2_ckpt),
-        float(w1), float(w2),
+        float(w1), float(w2), guess_mode=bool(guess_mode),
     )
 
 
@@ -126,6 +126,7 @@ def build_demo():
                     nprompt2 = gr.Textbox(label="Negative prompt")
                     ns2 = gr.Slider(1, 8, value=1, step=1, label="Samples")
                     steps2 = gr.Slider(1, 100, value=20, step=1, label="DDIM steps")
+                    guess2 = gr.Checkbox(label="Guess mode")
                     strength2 = gr.Slider(0.0, 2.0, value=1.0, label="Control strength")
                     scale2 = gr.Slider(0.1, 30.0, value=7.5, label="CFG scale")
                     seed2 = gr.Slider(-1, 65535, value=-1, step=1, label="Seed")
@@ -134,8 +135,8 @@ def build_demo():
                     gallery2 = gr.Gallery(label="Results")
             btn2.click(
                 ui_process2,
-                [c1, c2, prompt2, nprompt2, ns2, steps2, strength2, scale2,
-                 seed2, eta2, sd2, cn2, l1, l2, w1, w2],
+                [c1, c2, prompt2, nprompt2, ns2, steps2, guess2, strength2,
+                 scale2, seed2, eta2, sd2, cn2, l1, l2, w1, w2],
                 [gallery2],
             )
     return demo

@@ -124,6 +124,7 @@ class AppState:
         strength: float, scale: float, seed: int, eta: float,
         sd_ckpt: str, cn_ckpt: str, lora_ckpt: str, lora2_ckpt: str,
         lora_weight: float = 1.0, lora2_weight: float = 1.0,
+        guess_mode: bool = False,
     ) -> List[np.ndarray]:
         from ctrlora_tpu.api import center_crop_to_common
 
@@ -133,9 +134,16 @@ class AppState:
         a = HWC3(np.asarray(detected_image, np.uint8))
         b = HWC3(np.asarray(detected_image2, np.uint8))
         a, b = center_crop_to_common(a, b)
+        # guess mode applies the same decayed scales in the 2-LoRA path
+        # (reference app:377-384: un_cond drops c_concat, scales decay)
+        taps = model.pipe.n_control_taps
+        if guess_mode:
+            scales = [strength * (0.825 ** float(taps - 1 - i)) for i in range(taps)]
+        else:
+            scales = [strength] * taps
         results = model._sample_images(
             [a, b], reformat_prompt(prompt), reformat_prompt(n_prompt),
             num_samples, ddim_steps, scale, (lora_weight, lora2_weight), seed,
-            eta=eta,
+            eta=eta, guess_mode=guess_mode, control_scales=scales,
         )
         return [a, b] + [np.asarray(r) for r in results]

@@ -55,14 +55,11 @@ class CrossAttention(nn.Module):
         v = dense("to_v")(ctx, lora_idx)
 
         b, sq, _ = q.shape
-        # BSHD layout: a pure reshape on both sides of the kernel — the
-        # round-1 BHSD path materialized 4 transposes per attention site
-        split = lambda t: t.reshape(b, t.shape[1], self.heads, self.dim_head)
+        split = lambda t: t.reshape(b, t.shape[1], self.heads, self.dim_head).transpose(0, 2, 1, 3)
         out = dot_product_attention(
-            split(q), split(k), split(v), use_flash=self.use_flash,
-            layout="bshd",
+            split(q), split(k), split(v), use_flash=self.use_flash
         )
-        out = out.reshape(b, sq, inner)
+        out = out.transpose(0, 2, 1, 3).reshape(b, sq, inner)
 
         if ip_ctx is not None:
             # IP-Adapter branch (reference: attention_ip.py:208-288): separate
@@ -70,10 +67,9 @@ class CrossAttention(nn.Module):
             k_ip = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_ip")(ip_ctx)
             v_ip = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v_ip")(ip_ctx)
             out_ip = dot_product_attention(
-                split(q), split(k_ip), split(v_ip), use_flash=False,
-                layout="bshd",
+                split(q), split(k_ip), split(v_ip), use_flash=False
             )
-            out_ip = out_ip.reshape(b, sq, inner)
+            out_ip = out_ip.transpose(0, 2, 1, 3).reshape(b, sq, inner)
             ip_scale = self.param("ip_scale", nn.initializers.ones, (), jnp.float32)
             out = out + ip_scale.astype(out.dtype) * out_ip
 

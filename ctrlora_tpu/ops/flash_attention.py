@@ -42,26 +42,23 @@ NEG_INF = -1e30
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk):
-    # keep MXU operands in the input dtype (bf16): v5e runs fp32 matmuls at
-    # ~1/4 bf16 throughput; accumulation stays fp32 via preferred_element_type
-    q = q_ref[0, :, 0, :]  # [bq, D] (blocks carved from [B, S, H, D])
+    q = q_ref[0].astype(jnp.float32) * scale  # [bq, D]
     bq, d = q.shape
     num_k = sk // block_k
 
     def body(i, carry):
         acc, m, l = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), 0, :]
-        v = v_ref[0, pl.ds(i * block_k, block_k), 0, :]
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        )
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         return acc_new, m_new, l_new
 
@@ -69,7 +66,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk):
     m = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l = jnp.zeros((bq, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc, m, l))
-    o_ref[0, :, 0, :] = (acc / l).astype(o_ref.dtype)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
     lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
 
 
@@ -85,32 +82,32 @@ def _interpret() -> bool:
 
 
 def _flash_forward(q, k, v, scale):
-    """q/k/v in BSHD layout ([B, S, H, D]) — the models' native layout, so
-    no transpose/copy is materialized on either side of the kernel."""
-    b, sq, h, d = q.shape
-    sk = k.shape[1]
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
     block_q = _pick_block(sq)
     block_k = _pick_block(sk)
     assert block_q is not None and block_k is not None
+    g = b * h
+    qf, kf, vf = (t.reshape(g, t.shape[2], d) for t in (q, k, v))
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, block_k=block_k, sk=sk),
-        grid=(b, h, sq // block_q),
+        grid=(g, sq // block_q),
         in_specs=[
-            pl.BlockSpec((1, block_q, 1, d), lambda i, j, n: (i, n, j, 0)),
-            pl.BlockSpec((1, sk, 1, d), lambda i, j, n: (i, 0, j, 0)),
-            pl.BlockSpec((1, sk, 1, d), lambda i, j, n: (i, 0, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, 1, d), lambda i, j, n: (i, n, j, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda i, j, n: (i, j, n)),
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, sq, h, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, sq), jnp.float32),
+            jax.ShapeDtypeStruct((g, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((g, 1, sq), jnp.float32),
         ],
         interpret=_interpret(),
-    )(q, k, v)
-    return out, lse
+    )(qf, kf, vf)
+    return out.reshape(b, h, sq, d), lse.reshape(b, h, sq)
 
 
 # ---------------------------------------------------------------------------
@@ -119,16 +116,16 @@ def _flash_forward(q, k, v, scale):
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                    *, scale, block_k, sk):
-    q = q_ref[0, :, 0, :]
-    do = do_ref[0, :, 0, :]
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
     lse = lse_ref[0, 0][:, None]
     delta = delta_ref[0, 0][:, None]
     bq, d = q.shape
     num_k = sk // block_k
 
     def body(i, dq):
-        k = k_ref[0, pl.ds(i * block_k, block_k), 0, :]
-        v = v_ref[0, pl.ds(i * block_k, block_k), 0, :]
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
@@ -136,40 +133,39 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = (p * (dp - delta)).astype(k.dtype)
+        ds = p * (dp - delta)
         return dq + jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
     dq = jax.lax.fori_loop(0, num_k, body, jnp.zeros((bq, d), jnp.float32))
-    dq_ref[0, :, 0, :] = (dq * scale).astype(dq_ref.dtype)
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, *, scale, block_q, sq):
-    k = k_ref[0, :, 0, :]  # [bk, D]
-    v = v_ref[0, :, 0, :]
+    k = k_ref[0].astype(jnp.float32)  # [bk, D]
+    v = v_ref[0].astype(jnp.float32)
     bk, d = k.shape
     num_q = sq // block_q
 
     def body(i, carry):
         dk, dv = carry
-        q = q_ref[0, pl.ds(i * block_q, block_q), 0, :]
-        do = do_ref[0, pl.ds(i * block_q, block_q), 0, :]
+        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
         lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
         delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [bq, bk]
         p = jnp.exp(s - lse)
-        pc = p.astype(do.dtype)
         dv = dv + jax.lax.dot_general(
-            pc, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = (p * (dp - delta)).astype(q.dtype)  # [bq, bk]
+        ds = p * (dp - delta)  # [bq, bk]
         dk = dk + jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -178,77 +174,70 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dk = jnp.zeros((bk, d), jnp.float32)
     dv = jnp.zeros((bk, d), jnp.float32)
     dk, dv = jax.lax.fori_loop(0, num_q, body, (dk, dv))
-    dk_ref[0, :, 0, :] = (dk * scale).astype(dk_ref.dtype)
-    dv_ref[0, :, 0, :] = dv.astype(dv_ref.dtype)
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
 def _flash_backward(scale, res, g):
-    q, k, v, out, lse = res  # BSHD
-    b, sq, h, d = q.shape
-    sk = k.shape[1]
+    q, k, v, out, lse = res
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
     block_q = _pick_block(sq)
     block_k = _pick_block(sk)
-    delta = jnp.einsum(
-        "bshd,bshd->bhs", out.astype(jnp.float32), g.astype(jnp.float32)
-    )
+    gb = b * h
+    qf, kf, vf, of, gf = (t.reshape(gb, t.shape[2], d) for t in (q, k, v, out, g))
+    lsef = lse.reshape(gb, 1, sq)
+    delta = jnp.sum(of.astype(jnp.float32) * gf.astype(jnp.float32), axis=-1)[:, None, :]
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k, sk=sk),
-        grid=(b, h, sq // block_q),
+        grid=(gb, sq // block_q),
         in_specs=[
-            pl.BlockSpec((1, block_q, 1, d), lambda i, j, n: (i, n, j, 0)),
-            pl.BlockSpec((1, sk, 1, d), lambda i, j, n: (i, 0, j, 0)),
-            pl.BlockSpec((1, sk, 1, d), lambda i, j, n: (i, 0, j, 0)),
-            pl.BlockSpec((1, block_q, 1, d), lambda i, j, n: (i, n, j, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda i, j, n: (i, j, n)),
-            pl.BlockSpec((1, 1, block_q), lambda i, j, n: (i, j, n)),
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, 1, d), lambda i, j, n: (i, n, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, sq, h, d), q.dtype),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((gb, sq, d), q.dtype),
         interpret=_interpret(),
-    )(q, k, v, g, lse, delta)
+    )(qf, kf, vf, gf, lsef, delta)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, block_q=block_q, sq=sq),
-        grid=(b, h, sk // block_k),
+        grid=(gb, sk // block_k),
         in_specs=[
-            pl.BlockSpec((1, sq, 1, d), lambda i, j, n: (i, 0, j, 0)),
-            pl.BlockSpec((1, block_k, 1, d), lambda i, j, n: (i, n, j, 0)),
-            pl.BlockSpec((1, block_k, 1, d), lambda i, j, n: (i, n, j, 0)),
-            pl.BlockSpec((1, sq, 1, d), lambda i, j, n: (i, 0, j, 0)),
-            pl.BlockSpec((1, 1, sq), lambda i, j, n: (i, j, 0)),
-            pl.BlockSpec((1, 1, sq), lambda i, j, n: (i, j, 0)),
+            pl.BlockSpec((1, sq, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, sq, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, sq), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, sq), lambda i, j: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_k, 1, d), lambda i, j, n: (i, n, j, 0)),
-            pl.BlockSpec((1, block_k, 1, d), lambda i, j, n: (i, n, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, sk, h, d), k.dtype),
-            jax.ShapeDtypeStruct((b, sk, h, d), v.dtype),
+            jax.ShapeDtypeStruct((gb, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((gb, sk, d), v.dtype),
         ],
         interpret=_interpret(),
-    )(q, k, v, g, lse, delta)
+    )(qf, kf, vf, gf, lsef, delta)
 
-    return dq, dk, dv
+    rs = lambda t, s: t.reshape(b, h, s, d)
+    return rs(dq, sq), rs(dk, sk), rs(dv, sk)
 
 
 # ---------------------------------------------------------------------------
 # public entry points
 # ---------------------------------------------------------------------------
 
-def xla_attention(q, k, v, scale, layout="bhsd"):
+def xla_attention(q, k, v, scale):
     """Reference attention: fp32 logits+softmax (ATTN_PRECISION=fp32 path,
     ldm/modules/attention.py:173-179), bf16 PV matmul."""
-    if layout == "bshd":
-        logits = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        weights = jax.nn.softmax(logits, axis=-1)
-        return jnp.einsum(
-            "bhqk,bkhd->bqhd", weights.astype(v.dtype), v,
-            preferred_element_type=jnp.float32,
-        ).astype(q.dtype)
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale
@@ -280,11 +269,10 @@ def _on_tpu() -> bool:
 
 
 def flash_attention(q, k, v, scale=None):
-    """Direct flash entry on [B, H, S, D] (interpret mode off-TPU) — tests."""
+    """Direct flash entry (interpret mode off-TPU) — used by tests."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
-    bshd = lambda t: t.transpose(0, 2, 1, 3)
-    return bshd(_flash_attention(bshd(q), bshd(k), bshd(v), scale))
+    return _flash_attention(q, k, v, scale)
 
 
 def dot_product_attention(
@@ -293,19 +281,15 @@ def dot_product_attention(
     v: jnp.ndarray,
     scale: Optional[float] = None,
     use_flash: bool = True,
-    layout: str = "bhsd",
 ) -> jnp.ndarray:
-    """Multi-head attention, unmasked. layout='bhsd' takes [B, H, S, D];
-    layout='bshd' takes [B, S, H, D] — the models' native layout, which the
-    Pallas kernels consume directly (no transposes materialized).
+    """Multi-head attention over [B, H, S, D] tensors, unmasked.
 
-    Dispatches to the flash kernels when on TPU and the sequence geometry
-    tiles cleanly; otherwise the fp32-softmax XLA path.
+    Dispatches to the Pallas flash kernels when on TPU and the sequence
+    geometry tiles cleanly; otherwise the fp32-softmax XLA path.
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
-    s_axis = 1 if layout == "bshd" else 2
-    sq, sk = q.shape[s_axis], k.shape[s_axis]
+    sq, sk = q.shape[2], k.shape[2]
     import os
 
     flash_ok = (
@@ -317,8 +301,5 @@ def dot_product_attention(
         and _pick_block(sk) is not None
     )
     if flash_ok:
-        if layout == "bshd":
-            return _flash_attention(q, k, v, scale)
-        bshd = lambda t: t.transpose(0, 2, 1, 3)
-        return bshd(_flash_attention(bshd(q), bshd(k), bshd(v), scale))
-    return xla_attention(q, k, v, scale, layout=layout)
+        return _flash_attention(q, k, v, scale)
+    return xla_attention(q, k, v, scale)
