@@ -1,11 +1,11 @@
 """Annotator registry: name -> lazily constructed detector.
 
 Mirrors the preprocessor set exposed by the reference apps
-(app/gradio_ctrlora.py:36-40 lists 23 choices). Tier-1 algorithmic and HED
-tiers are native here; heavyweight vendored model trees (midas/zoe/normalbae/
-openpose/uniformer/oneformer/densepose/mlsd/lineart*/pidinet) register as
-stubs that raise with a clear message until their Flax ports or external
-weights are wired (tracked for later rounds).
+(app/gradio_ctrlora.py:36-40 lists 23 choices). Every condition is a native
+JAX port; the heavyweight model-based ones (midas/zoe/normalbae/openpose/
+uniformer/oneformer/densepose/mlsd/lineart*/pidinet/bbox) gate on their
+pretrained weights being present in the ckpts dir (CTRLORA_ANNOTATOR_CKPTS)
+and raise FileNotFoundError with a download pointer otherwise.
 """
 
 from __future__ import annotations
