@@ -107,10 +107,15 @@ class GroupNorm32(nn.Module):
         if self.n_banks > 0:
             scale = _take(scale, bank_idx)
             bias = _take(bias, bank_idx)
-        x = x.astype(jnp.float32)
         # real models always have c % 32 == 0; tiny test configs fall back to
         # the largest group count that divides c
         g = self.num_groups if c % self.num_groups == 0 else math.gcd(c, self.num_groups)
+        if scale.ndim == 1:  # unbanked (or bank already selected to [C])
+            from ctrlora_tpu.ops.group_norm import group_norm, group_norm_ok
+
+            if group_norm_ok(x, g):
+                return group_norm(x, scale, bias, g, self.eps, False)
+        x = x.astype(jnp.float32)
         spatial = x.shape[1:-1]
         xg = x.reshape(x.shape[0], -1, g, c // g)
         mean = jnp.mean(xg, axis=(1, 3), keepdims=True)

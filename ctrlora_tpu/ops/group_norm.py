@@ -1,0 +1,178 @@
+"""Pallas TPU fused GroupNorm (+ optional SiLU).
+
+The UNet/ControlNet/VAE spend ~17% of sampling time in XLA's
+convert+reduce fusions for fp32 GroupNorm stats plus separate
+normalize/SiLU passes (profile in README "Benchmarks"). This kernel pair
+does it in two passes over bf16 data with fp32 accumulation:
+
+  pass 1 (stats):  per-channel sum / sum-of-squares -> [B, C] fp32
+  (tiny XLA)       group-reduce -> per-channel a = g*rsqrt(var+eps),
+                   b = beta - mean*a   (per-group stats broadcast back)
+  pass 2 (apply):  y = silu(x*a + b)  (one read + one write, bf16 out)
+
+Channel counts in the real models are multiples of 32 with C as the lane
+dim, so both kernels are pure lane-wise VPU work; the awkward per-group
+(C/32-channel) reduction happens in the tiny [B, C] XLA epilogue instead
+of inside the kernel. Falls back to plain jnp math off-TPU or for shapes
+the blocks can't tile.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _stats_kernel(x_ref, sum_ref, sq_ref):
+    i = pl.program_id(1)
+    x = x_ref[0].astype(jnp.float32)  # [blk, C]
+    s = jnp.sum(x, axis=0, keepdims=True)
+    q = jnp.sum(x * x, axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _init():
+        sum_ref[0] = s
+        sq_ref[0] = q
+
+    @pl.when(i > 0)
+    def _acc():
+        sum_ref[0] += s
+        sq_ref[0] += q
+
+
+def _apply_kernel(x_ref, a_ref, b_ref, o_ref, *, silu):
+    x = x_ref[0].astype(jnp.float32)
+    y = x * a_ref[0] + b_ref[0]
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _pick_hw_block(hw: int) -> Optional[int]:
+    for cand in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if cand <= hw and hw % cand == 0:
+            return cand
+    return None
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def fused_group_norm(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    silu: bool = False,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """GroupNorm over NHWC (torch semantics, fp32 stats) with optional fused
+    SiLU. x [B, H, W, C] (or [B, S, C]); scale/bias [C] fp32."""
+    orig_shape = x.shape
+    b, c = x.shape[0], x.shape[-1]
+    hw = 1
+    for d in x.shape[1:-1]:
+        hw *= d
+    xf = x.reshape(b, hw, c)
+    blk = _pick_hw_block(hw)
+    if interpret is None:
+        interpret = not _on_tpu()
+
+    xsum, xsq = pl.pallas_call(
+        _stats_kernel,
+        grid=(b, hw // blk),
+        in_specs=[pl.BlockSpec((1, blk, c), lambda i, j: (i, j, 0))],
+        out_specs=[
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xf)
+
+    # tiny epilogue: per-group moments -> per-channel affine
+    n = hw * (c // num_groups)
+    gsum = xsum.reshape(b, num_groups, c // num_groups).sum(-1)
+    gsq = xsq.reshape(b, num_groups, c // num_groups).sum(-1)
+    mean = gsum / n
+    var = gsq / n - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    mean_c = jnp.repeat(mean, c // num_groups, axis=-1)  # [B, C]
+    inv_c = jnp.repeat(inv, c // num_groups, axis=-1)
+    a = inv_c * scale[None].astype(jnp.float32)
+    bb = bias[None].astype(jnp.float32) - mean_c * a
+
+    out = pl.pallas_call(
+        functools.partial(_apply_kernel, silu=silu),
+        grid=(b, hw // blk),
+        in_specs=[
+            pl.BlockSpec((1, blk, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, blk, c), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
+        interpret=interpret,
+    )(xf, a[:, None], bb[:, None])
+    return out.reshape(orig_shape)
+
+
+def group_norm_ok(x: jnp.ndarray, num_groups: int) -> bool:
+    """Whether the fused path can handle this shape on this backend."""
+    if not _on_tpu():
+        return False
+    c = x.shape[-1]
+    hw = 1
+    for d in x.shape[1:-1]:
+        hw *= d
+    return x.ndim >= 3 and c % num_groups == 0 and _pick_hw_block(hw) is not None
+
+
+def _plain_group_norm(x, scale, bias, num_groups, eps, silu):
+    """Reference jnp math (fp32), used for the custom-vjp backward."""
+    b, c = x.shape[0], x.shape[-1]
+    xf = x.astype(jnp.float32).reshape(b, -1, num_groups, c // num_groups)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.var(xf, axis=(1, 3), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = xf.reshape(x.shape) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def group_norm(x, scale, bias, num_groups: int = 32, eps: float = 1e-5,
+               silu: bool = False):
+    """Differentiable fused GroupNorm(+SiLU): Pallas forward, jnp-math
+    backward (the kernels have no transpose rule; the backward recompute
+    costs the same as the plain implementation's)."""
+    return fused_group_norm(x, scale, bias, num_groups, eps, silu)
+
+
+def _gn_fwd(x, scale, bias, num_groups, eps, silu):
+    return fused_group_norm(x, scale, bias, num_groups, eps, silu), (x, scale, bias)
+
+
+def _gn_bwd(num_groups, eps, silu, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda xx, ss, bb: _plain_group_norm(xx, ss, bb, num_groups, eps, silu),
+        x, scale, bias,
+    )
+    return vjp(g)
+
+
+group_norm.defvjp(_gn_fwd, _gn_bwd)
