@@ -161,6 +161,7 @@ def test_grad_accum_matches_big_batch_direction():
     assert int(state2.step) == 1
 
 
+@pytest.mark.slow
 def test_data_parallel_8_devices():
     from ctrlora_tpu.parallel.mesh import create_mesh, shard_batch, replicate
 
@@ -195,6 +196,7 @@ def test_ema():
     assert np.all(np.asarray(state.params["w"]) > 0.8)
 
 
+@pytest.mark.slow
 def test_fsdp_opt_state_sharding():
     """Optimizer-state sharding over the data axis produces the same loss
     trajectory as replicated state."""

@@ -65,6 +65,7 @@ def test_zoe_forward_parity(ref_model):
     )
 
 
+@pytest.mark.slow
 def test_zoe_detector_protocol(ref_model, tmp_path):
     """Detector end-to-end vs the reference infer(): raw metric depth must
     agree in absolute terms. (A random-weight 345M model produces a depth
@@ -95,6 +96,7 @@ def test_zoe_detector_protocol(ref_model, tmp_path):
     np.testing.assert_allclose(depth, depth_ref, atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_zoe_infer_protocol_mechanics(ref_model, tmp_path):
     """Exact check of the infer plumbing (reflect pad amounts, minimal
     keep-aspect multiple-of-32 resize with align_corners=True, bicubic
