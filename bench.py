@@ -87,6 +87,24 @@ def _traced_flops(fn, *args) -> float | None:
             os.environ["CTRLORA_NO_FLASH"] = old
 
 
+def _init_on_host(make_fn):
+    """Run param init/surgery on the host CPU backend, then transfer once.
+
+    Eager init on a remote-execution backend (axon tunnel) issues thousands
+    of tiny device ops — ~13 min of wall for SD1.5-sized trees. On-host init
+    plus a single device_put is seconds."""
+    try:
+        cpu = jax.devices("cpu")[0]
+    except Exception:
+        return make_fn()
+    default = jax.devices()[0]
+    if default == cpu:
+        return make_fn()
+    with jax.default_device(cpu):
+        out = make_fn()
+    return jax.device_put(out, default)
+
+
 class _MaybeProfile:
     def __init__(self, logdir):
         self.logdir = logdir
@@ -118,20 +136,24 @@ def bench_sampling(args) -> dict:
         size, steps, batch = args.size, args.steps, args.batch
 
     pipe = CtrLoraPipeline(cfg)
-    params = pipe.init(jax.random.PRNGKey(0), image_size=8)
     lat = size // (2 ** (len(cfg.vae.ch_mult) - 1))
 
     # inference-path optimizations (both on by default): fold the LoRA into
     # the base weights, and cast kernels to bf16 once outside the scan
     from ctrlora_tpu.lora_fuse import cast_params_for_inference, fuse_control_tree
 
-    fused = None
-    if not args.no_fuse and cfg.control.lora.n_loras > 0:
-        fused = fuse_control_tree(params.control, 0, cfg.control.lora)
-    if not args.fp32_params:
-        params = cast_params_for_inference(params)
-        if fused is not None:
-            fused = cast_params_for_inference(fused)
+    def _make():
+        params = pipe.init(jax.random.PRNGKey(0), image_size=8)
+        fused = None
+        if not args.no_fuse and cfg.control.lora.n_loras > 0:
+            fused = fuse_control_tree(params.control, 0, cfg.control.lora)
+        if not args.fp32_params:
+            params = cast_params_for_inference(params)
+            if fused is not None:
+                fused = cast_params_for_inference(fused)
+        return params, fused
+
+    params, fused = _init_on_host(_make)
 
     hint = jnp.ones((batch, size, size, 3), jnp.float32) * 0.5
     ids = jnp.ones((batch, cfg.clip.max_length), jnp.int32)
@@ -198,9 +220,18 @@ def bench_train(args) -> dict:
         size, batch = args.size, args.batch
 
     pipe = CtrLoraPipeline(cfg)
-    params = pipe.init(jax.random.PRNGKey(0), image_size=8)
     tcfg = TrainConfig(trainable="lora", batch_size=batch)
-    state, tx, _ = create_train_state(params, tcfg)
+
+    def _make():
+        params = pipe.init(jax.random.PRNGKey(0), image_size=8)
+        return create_train_state(params, tcfg)[0]
+
+    state = _init_on_host(_make)
+    # tx is a pure function pair; rebuild it from the (host-made) params'
+    # structure without touching device memory
+    from ctrlora_tpu.training.train_state import make_optimizer, trainable_mask
+
+    tx = make_optimizer(tcfg, trainable_mask(state.params, tcfg))
     step = make_train_step(pipe, tx, tcfg)
     batch_data = {
         "jpg": jnp.zeros((batch, size, size, 3), jnp.float32),

@@ -96,6 +96,9 @@ class GroupNorm32(nn.Module):
     num_groups: int = 32
     eps: float = 1e-5
     n_banks: int = 0
+    # fuse the SiLU that follows every UNet/VAE norm into the same kernel
+    # pass (one HBM read + write instead of two)
+    silu: bool = False
 
     @nn.compact
     def __call__(self, x, bank_idx: Optional[jnp.ndarray] = None):
@@ -114,7 +117,7 @@ class GroupNorm32(nn.Module):
             from ctrlora_tpu.ops.group_norm import group_norm, group_norm_ok
 
             if group_norm_ok(x, g):
-                return group_norm(x, scale, bias, g, self.eps, False)
+                return group_norm(x, scale, bias, g, self.eps, self.silu)
         x = x.astype(jnp.float32)
         spatial = x.shape[1:-1]
         xg = x.reshape(x.shape[0], -1, g, c // g)
@@ -123,6 +126,8 @@ class GroupNorm32(nn.Module):
         xg = (xg - mean) * jax.lax.rsqrt(var + self.eps)
         x = xg.reshape(x.shape[0], *spatial, c)
         x = x * scale + bias
+        if self.silu:
+            x = x * jax.nn.sigmoid(x)
         return x.astype(orig_dtype)
 
 
@@ -249,15 +254,13 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb, lora_idx: Optional[jnp.ndarray] = None):
-        h = GroupNorm32(name="in_norm")(x)
-        h = nn.silu(h)
+        h = GroupNorm32(name="in_norm", silu=True)(x)
         h = Conv(self.out_channels, dtype=self.dtype, name="in_conv")(h)
         emb_out = Dense(self.out_channels, dtype=self.dtype, lora=self.lora, name="emb_proj")(
             nn.silu(emb), lora_idx
         )
         h = h + emb_out[:, None, None, :].astype(h.dtype)
-        h = GroupNorm32(name="out_norm")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(name="out_norm", silu=True)(h)
         h = Conv(
             self.out_channels, dtype=self.dtype, name="out_conv",
             kernel_init=nn.initializers.zeros,

@@ -47,16 +47,14 @@ class ControlNetLite(nn.Module):
                 h = Conv(step.out_ch, dtype=dt, name="in_conv")(h)
                 h = h + guided
             elif step.kind == "res":
-                h = GroupNorm32(name=f"in_{i}_norm")(h)
-                h = nn.silu(h)
+                h = GroupNorm32(name=f"in_{i}_norm", silu=True)(h)
                 h = Conv(step.out_ch, dtype=dt, name=f"in_{i}_conv")(h)
             else:
                 h = Downsample(step.out_ch, dtype=dt, name=f"in_{i}_down")(h)
             outs.append(ZeroConv(step.out_ch, dtype=dt, name=f"zero_{i}")(h))
 
         ch = h.shape[-1]
-        h = GroupNorm32(name="mid_norm")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(name="mid_norm", silu=True)(h)
         h = Conv(ch, dtype=dt, name="mid_conv")(h)
         outs.append(ZeroConv(ch, dtype=dt, name="zero_mid")(h))
         return tuple(outs)

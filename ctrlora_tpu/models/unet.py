@@ -167,8 +167,7 @@ class UNet(nn.Module):
             if step.upsample:
                 h = Upsample(step.out_ch, dtype=dt, name=f"out_{i}_up")(h)
 
-        h = GroupNorm32(name="norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(name="norm_out", silu=True)(h)
         h = Conv(
             cfg.out_channels, dtype=dt, kernel_init=nn.initializers.zeros, name="conv_out"
         )(h)

@@ -27,11 +27,9 @@ class VAEResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = GroupNorm32(eps=1e-6, name="norm1")(x)
-        h = nn.swish(h)
+        h = GroupNorm32(eps=1e-6, name="norm1", silu=True)(x)
         h = Conv(self.out_channels, dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm32(eps=1e-6, name="norm2")(h)
-        h = nn.swish(h)
+        h = GroupNorm32(eps=1e-6, name="norm2", silu=True)(h)
         h = Conv(self.out_channels, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
             x = Conv(self.out_channels, kernel_size=(1, 1), dtype=self.dtype, name="nin_shortcut")(x)
@@ -80,8 +78,7 @@ class Encoder(nn.Module):
         h = VAEResBlock(h.shape[-1], dtype=dt, name="mid_block_1")(h)
         h = VAEAttnBlock(dtype=dt, name="mid_attn_1")(h)
         h = VAEResBlock(h.shape[-1], dtype=dt, name="mid_block_2")(h)
-        h = GroupNorm32(eps=1e-6, name="norm_out")(h)
-        h = nn.swish(h)
+        h = GroupNorm32(eps=1e-6, name="norm_out", silu=True)(h)
         out_ch = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
         return Conv(out_ch, dtype=dt, name="conv_out")(h)
 
@@ -105,8 +102,7 @@ class Decoder(nn.Module):
             if level != 0:
                 h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
                 h = Conv(ch, dtype=dt, name=f"up_{level}_upsample")(h)
-        h = GroupNorm32(eps=1e-6, name="norm_out")(h)
-        h = nn.swish(h)
+        h = GroupNorm32(eps=1e-6, name="norm_out", silu=True)(h)
         return Conv(cfg.out_channels, dtype=dt, name="conv_out")(h)
 
 

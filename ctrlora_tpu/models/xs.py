@@ -89,9 +89,9 @@ class XSUNet(nn.Module):
                     h = _attn(cfg, step.out_ch, None, f"out_{i}_attn")(h, context, None)
                 if step.upsample:
                     h = Upsample(step.out_ch, dtype=dt, name=f"out_{i}_up")(h)
-            h = GroupNorm32(name="norm_out")(h)
+            h = GroupNorm32(name="norm_out", silu=True)(h)
             return Conv(cfg.out_channels, dtype=dt, kernel_init=nn.initializers.zeros,
-                        name="conv_out")(nn.silu(h)).astype(jnp.float32)
+                        name="conv_out")(h).astype(jnp.float32)
 
         guided = HintBlock(ctr_cfg.model_channels, dtype=dt, name="hint_block")(hint)
 
@@ -175,8 +175,7 @@ class XSUNet(nn.Module):
                     elif self.infusion2control == "add":
                         h_ctr = h_ctr + ZeroConv(cstep.out_ch, dtype=dt, name=f"dec_zero_in_{i}")(h_base)
 
-        h = GroupNorm32(name="norm_out")(h_base)
-        h = nn.silu(h)
+        h = GroupNorm32(name="norm_out", silu=True)(h_base)
         return Conv(
             cfg.out_channels, dtype=dt, kernel_init=nn.initializers.zeros, name="conv_out"
         )(h).astype(jnp.float32)

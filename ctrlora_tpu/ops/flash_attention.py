@@ -35,30 +35,46 @@ except Exception:  # pragma: no cover
     pltpu = None
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # exp(x) == exp2(x * LOG2E); exp2 is the native
+# VPU op, and folding LOG2E into the one-time q scaling removes a per-element
+# multiply from the [Sq, Sk]-sized softmax hot path
 
 
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk):
-    q = q_ref[0].astype(jnp.float32) * scale  # [bq, D]
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk,
+                bf16_ops):
+    # bf16_ops: keep MXU operands in bf16 (fp32 accumulation via
+    # preferred_element_type). The scale is folded into q ONCE here — the
+    # reverted round-1 experiment instead multiplied every [bq, bk] logits
+    # block by scale on the VPU, which cost more than the MXU saved.
+    # logits tracked in the exp2 domain: s2 = (q.k * scale) * LOG2E
+    if bf16_ops:
+        q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(jnp.bfloat16)
+    else:
+        q = q_ref[0].astype(jnp.float32) * (scale * LOG2E)  # [bq, D]
     bq, d = q.shape
     num_k = sk // block_k
 
     def body(i, carry):
         acc, m, l = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        if not bf16_ops:
+            k = k.astype(jnp.float32)
+            v = v.astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = p.astype(v.dtype) if bf16_ops else p
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            pv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         return acc_new, m_new, l_new
 
@@ -67,7 +83,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk):
     l = jnp.zeros((bq, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc, m, l))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
+    # emit natural-log lse (the backward's contract): ln(sumexp) =
+    # (m2 + log2(l)) * ln2
+    lse_ref[0, 0] = ((m + jnp.log2(l)) * (1.0 / LOG2E))[:, 0]
 
 
 def _pick_block(size: int, preferred: int = 512) -> Optional[int]:
@@ -78,7 +96,15 @@ def _pick_block(size: int, preferred: int = 512) -> Optional[int]:
 
 
 def _interpret() -> bool:
-    return jax.default_backend() == "cpu"
+    from ctrlora_tpu.utils.platform import effective_platform
+
+    return effective_platform() == "cpu"
+
+
+def _use_bf16_operands() -> bool:
+    import os
+
+    return bool(os.environ.get("CTRLORA_FLASH_BF16"))
 
 
 def _flash_forward(q, k, v, scale):
@@ -89,8 +115,10 @@ def _flash_forward(q, k, v, scale):
     assert block_q is not None and block_k is not None
     g = b * h
     qf, kf, vf = (t.reshape(g, t.shape[2], d) for t in (q, k, v))
+    bf16_ops = _use_bf16_operands() and q.dtype == jnp.bfloat16
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, block_k=block_k, sk=sk),
+        functools.partial(_fwd_kernel, scale=scale, block_k=block_k, sk=sk,
+                          bf16_ops=bf16_ops),
         grid=(g, sq // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
@@ -117,8 +145,9 @@ def _flash_forward(q, k, v, scale):
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                    *, scale, block_k, sk):
     q = q_ref[0].astype(jnp.float32)
+    q2 = q * (scale * LOG2E)  # exp2-domain logits operand
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0][:, None]
+    lse2 = lse_ref[0, 0][:, None] * LOG2E
     delta = delta_ref[0, 0][:, None]
     bq, d = q.shape
     num_k = sk // block_k
@@ -127,9 +156,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        p = jnp.exp(s - lse)
+            q2, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        p = jnp.exp2(s - lse2)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -145,6 +174,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, *, scale, block_q, sq):
     k = k_ref[0].astype(jnp.float32)  # [bk, D]
+    k2 = k * (scale * LOG2E)  # exp2-domain logits operand
     v = v_ref[0].astype(jnp.float32)
     bk, d = k.shape
     num_q = sq // block_q
@@ -153,12 +183,12 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk, dv = carry
         q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        lse2 = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None] * LOG2E
         delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [bq, bk]
-        p = jnp.exp(s - lse)
+            q, k2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk], exp2 domain
+        p = jnp.exp2(s - lse2)
         dv = dv + jax.lax.dot_general(
             p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -263,7 +293,9 @@ _flash_attention.defvjp(_flash_fwd, _flash_backward)
 
 def _on_tpu() -> bool:
     try:
-        return jax.default_backend() not in ("cpu",) and pltpu is not None
+        from ctrlora_tpu.utils.platform import effective_platform
+
+        return effective_platform() != "cpu" and pltpu is not None
     except Exception:  # pragma: no cover
         return False
 

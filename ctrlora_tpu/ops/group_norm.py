@@ -52,16 +52,25 @@ def _apply_kernel(x_ref, a_ref, b_ref, o_ref, *, silu):
     o_ref[0] = y.astype(o_ref.dtype)
 
 
-def _pick_hw_block(hw: int) -> Optional[int]:
+# cap block elements so the kernel's VMEM stack (bf16 in/out + fp32
+# convert + fp32 square) stays well under the 16MB scoped limit: at 2^17
+# elements the fp32 temporaries are 512KB each (VAE encoder blocks at
+# 512^2 / C=512 OOMed with unbounded blocks)
+_MAX_BLOCK_ELEMS = 1 << 17
+
+
+def _pick_hw_block(hw: int, c: int) -> Optional[int]:
     for cand in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
-        if cand <= hw and hw % cand == 0:
+        if cand <= hw and hw % cand == 0 and cand * c <= _MAX_BLOCK_ELEMS:
             return cand
     return None
 
 
 def _on_tpu() -> bool:
     try:
-        return jax.default_backend() != "cpu"
+        from ctrlora_tpu.utils.platform import effective_platform
+
+        return effective_platform() != "cpu"
     except Exception:  # pragma: no cover
         return False
 
@@ -83,7 +92,7 @@ def fused_group_norm(
     for d in x.shape[1:-1]:
         hw *= d
     xf = x.reshape(b, hw, c)
-    blk = _pick_hw_block(hw)
+    blk = _pick_hw_block(hw, c)
     if interpret is None:
         interpret = not _on_tpu()
 
@@ -131,13 +140,17 @@ def fused_group_norm(
 
 def group_norm_ok(x: jnp.ndarray, num_groups: int) -> bool:
     """Whether the fused path can handle this shape on this backend."""
+    import os
+
+    if os.environ.get("CTRLORA_NO_FUSED_GN"):
+        return False
     if not _on_tpu():
         return False
     c = x.shape[-1]
     hw = 1
     for d in x.shape[1:-1]:
         hw *= d
-    return x.ndim >= 3 and c % num_groups == 0 and _pick_hw_block(hw) is not None
+    return x.ndim >= 3 and c % num_groups == 0 and _pick_hw_block(hw, c) is not None
 
 
 def _plain_group_norm(x, scale, bias, num_groups, eps, silu):

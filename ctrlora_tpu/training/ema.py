@@ -30,11 +30,15 @@ class EmaState(NamedTuple):
 def ema_init(params, mask: Optional[Any] = None) -> EmaState:
     """Shadow copy of `params`; with `mask`, only True leaves are shadowed
     (False leaves hold a 0-size placeholder)."""
+    # jnp.array(copy=True): jnp.asarray would alias the live param buffer,
+    # and a donating train step then donates the same buffer twice (params
+    # and shadow), which XLA rejects at execute time
+    copy = lambda p: jnp.array(p, copy=True)
     if mask is None:
-        shadow = jax.tree_util.tree_map(jnp.asarray, params)
+        shadow = jax.tree_util.tree_map(copy, params)
     else:
         shadow = jax.tree_util.tree_map(
-            lambda p, m: jnp.asarray(p) if m else _placeholder(), params, mask
+            lambda p, m: copy(p) if m else _placeholder(), params, mask
         )
     return EmaState(shadow, jnp.zeros((), jnp.int32))
 

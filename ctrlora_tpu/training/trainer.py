@@ -39,7 +39,14 @@ class Trainer:
         self.workdir = workdir
         os.makedirs(workdir, exist_ok=True)
         os.makedirs(os.path.join(workdir, "image_log"), exist_ok=True)
-        params = params if params is not None else pipe.init(jax.random.PRNGKey(cfg.seed))
+        if params is None:
+            params = pipe.init(jax.random.PRNGKey(cfg.seed))
+        else:
+            # own a copy: the donating train step consumes the state's
+            # buffers, which would invalidate the caller's `params` tree
+            params = jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), params
+            )
         is_xs = pipe.cfg.control is not None and pipe.cfg.control.variant == "xs"
         self.state, self.tx, self.mask = create_train_state(params, cfg, xs=is_xs)
         self.step_fn = make_train_step(pipe, self.tx, cfg, mask=self.mask)
@@ -139,11 +146,19 @@ class Trainer:
         self.state = restore_train_state(path, self.state)
 
 
+def _pack_zero_size(tree):
+    """Orbax refuses zero-size arrays (the EMA's untracked-leaf
+    placeholders); pad them to 1-element sentinels for serialization."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.zeros((1,), x.dtype) if x.size == 0 else x, tree
+    )
+
+
 def save_train_state(path: str, state: TrainState) -> None:
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(path), state, force=True)
+    ckptr.save(os.path.abspath(path), _pack_zero_size(state), force=True)
     ckptr.wait_until_finished()
 
 
@@ -151,7 +166,12 @@ def restore_train_state(path: str, template: TrainState) -> TrainState:
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path), template)
+    restored = ckptr.restore(os.path.abspath(path), _pack_zero_size(template))
+    # squeeze the sentinels back to the template's zero-size placeholders
+    return jax.tree_util.tree_map(
+        lambda t, r: r[:0] if (hasattr(t, "size") and t.size == 0) else r,
+        template, restored,
+    )
 
 
 def make_image_log_hook(pipe: CtrLoraPipeline, workdir: str, ddim_steps: int = 20):

@@ -28,3 +28,20 @@ def ensure_platform_from_env(default: str | None = None) -> None:
                 jax.config.update("jax_num_cpu_devices", int(n))
             except Exception:
                 pass
+
+
+def effective_platform() -> str:
+    """Platform new computations will execute on: honors an active
+    jax.default_device(...) override, else the default backend.
+
+    Pallas kernels must pick interpret mode by THIS (a default_device(cpu)
+    context under a TPU backend lowers for cpu, where only interpret mode
+    is supported)."""
+    import jax
+
+    dd = getattr(jax.config, "jax_default_device", None)
+    if dd is not None:
+        p = getattr(dd, "platform", None)
+        if p:
+            return p
+    return jax.default_backend()

@@ -1,0 +1,96 @@
+"""Microbenchmark the flash-attention kernel at SD1.5's actual shapes.
+
+Times the Pallas kernel (and optionally the XLA fp32-softmax fallback) at
+the four attention geometries one CFG-doubled batch-4 512x512 sampling step
+hits, per variant knob. Used to choose kernel defaults with measurements
+instead of guesses (the round-1 bf16 experiment regressed end-to-end
+because it was measured only together with an unrelated layout change).
+
+Run on the real chip:  python perf/attn_microbench.py [--reps 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# SD1.5 UNet+ControlNet self-attention geometries for batch 8 (4 + CFG):
+# (B, H, Sq, Sk, D). Cross-attention (Sk=77) uses the XLA path, not flash.
+SHAPES = [
+    ("64x64 self d40", (8, 8, 4096, 4096, 40)),
+    ("32x32 self d80", (8, 8, 1024, 1024, 80)),
+    ("16x16 self d160", (8, 8, 256, 256, 160)),
+    ("8x8  self d160", (8, 8, 64, 64, 160)),
+]
+
+
+def time_attn(attn, q, k, v, reps=50):
+    """Time `reps` chained kernel invocations inside ONE jit (per-call
+    dispatch through a remote-execution tunnel would otherwise dominate)."""
+
+    def chained(q, k, v):
+        def body(_, acc):
+            return attn(acc, k, v)
+
+        # reduce on-device: fetching the full output through a remote
+        # tunnel would dominate the measurement
+        return jnp.sum(jax.lax.fori_loop(0, reps, body, q).astype(jnp.float32))
+
+    fn = jax.jit(chained)
+    np.asarray(fn(q, k, v))  # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(fn(q, k, v))
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--reps", type=int, default=50)
+    args = p.parse_args()
+
+    rng = np.random.default_rng(0)
+    for name, (b, h, sq, sk, d) in SHAPES:
+        q = jnp.asarray(rng.standard_normal((b, h, sq, d)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((b, h, sk, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((b, h, sk, d)), jnp.bfloat16)
+        flops = 2 * 2 * b * h * sq * sk * d  # QK^T + PV, MAC = 2 FLOPs
+
+        rows = []
+        for label, env in [
+            ("flash fp32-ops", {}),
+            ("flash bf16-ops", {"CTRLORA_FLASH_BF16": "1"}),
+            ("xla fp32-softmax", {"CTRLORA_NO_FLASH": "1"}),
+        ]:
+            old = {kk: os.environ.get(kk) for kk in
+                   ("CTRLORA_FLASH_BF16", "CTRLORA_NO_FLASH")}
+            os.environ.pop("CTRLORA_FLASH_BF16", None)
+            os.environ.pop("CTRLORA_NO_FLASH", None)
+            os.environ.update(env)
+            try:
+                from ctrlora_tpu.ops.flash_attention import dot_product_attention
+
+                dt = time_attn(dot_product_attention, q, k, v, reps=args.reps)
+                rows.append((label, dt))
+            finally:
+                for kk, vv in old.items():
+                    if vv is None:
+                        os.environ.pop(kk, None)
+                    else:
+                        os.environ[kk] = vv
+        base = rows[0][1]
+        print(f"\n{name}  [{b}x{h}x{sq}x{d}]  ({flops/1e9:.1f} GFLOP)")
+        for label, dt in rows:
+            print(f"  {label:18s} {dt*1e3:8.3f} ms  {flops/dt/1e12:6.1f} TFLOPS"
+                  f"  {base/dt:5.2f}x")
+
+
+if __name__ == "__main__":
+    main()
