@@ -326,7 +326,11 @@ def _aspp(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
         y = jax.lax.conv_general_dilated(
             x, p["conv"]["kernel"], (1, 1), ((d, d), (d, d)),
             rhs_dilation=(d, d), dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + p["conv"]["bias"]
+        )
+        # ASPPConv convs are bias-free (followed by GN) in detectron2;
+        # tolerate a bias if a checkpoint carries one
+        if "bias" in p["conv"]:
+            y = y + p["conv"]["bias"]
         branches.append(jax.nn.relu(_gn32(p["norm"], y)))
     pool = x.mean(axis=(1, 2), keepdims=True)
     pool = jax.nn.relu(_conv(params["pool"]["conv"], pool) )

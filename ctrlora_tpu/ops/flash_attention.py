@@ -88,8 +88,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk,
     lse_ref[0, 0] = ((m + jnp.log2(l)) * (1.0 / LOG2E))[:, 0]
 
 
-def _pick_block(size: int, preferred: int = 512) -> Optional[int]:
-    for cand in (preferred, 256, 128):
+def _pick_block(size: int, preferred: int = 512, env: Optional[str] = None) -> Optional[int]:
+    import os
+
+    if env and os.environ.get(env):  # experiment knob for perf/ microbenches
+        preferred = int(os.environ[env])
+    for cand in (preferred, 512, 256, 128):
         if cand <= size and size % cand == 0:
             return cand
     return None
@@ -110,8 +114,18 @@ def _use_bf16_operands() -> bool:
 def _flash_forward(q, k, v, scale):
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    block_q = _pick_block(sq)
-    block_k = _pick_block(sk)
+    block_q = _pick_block(sq, env="CTRLORA_FLASH_BQ")
+    # single k-sweep when the [block_q, sk] logits block fits VMEM (8MB
+    # fp32): no online-softmax rescale, one big MXU dot — measured -19% at
+    # SD's dominant [8,8,4096,40] shape vs 512/512 chunking
+    import os as _os
+
+    if _os.environ.get("CTRLORA_FLASH_BK"):
+        block_k = _pick_block(sk, env="CTRLORA_FLASH_BK")
+    elif block_q is not None and block_q * sk <= (1 << 21):
+        block_k = sk
+    else:
+        block_k = _pick_block(sk)
     assert block_q is not None and block_k is not None
     g = b * h
     qf, kf, vf = (t.reshape(g, t.shape[2], d) for t in (q, k, v))

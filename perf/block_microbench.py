@@ -129,20 +129,17 @@ def main():
     ctx = jnp.zeros((B, 77, 768), jnp.float32)
     hint_z = jnp.zeros((B, 64, 64, 4), jnp.float32)
 
-    def eval_fn(x, t, ctx, hint_z):
-        conds = [Conditioning(hint_z, control_params=fused)]
-        return pipe.apply_model(params, x, t, ctx, conds)
-
-    def chained(x, t, ctx, hint_z):
+    def chained(params, fused, x, t, ctx, hint_z):
         def body(_, acc):
-            return eval_fn(acc, t, ctx, hint_z)
+            conds = [Conditioning(hint_z, control_params=fused)]
+            return pipe.apply_model(params, acc, t, ctx, conds)
 
         return jnp.sum(jax.lax.fori_loop(0, reps, body, x))
 
     j = jax.jit(chained)
-    np.asarray(j(x, t, ctx, hint_z))
+    np.asarray(j(params, fused, x, t, ctx, hint_z))
     t0 = time.perf_counter()
-    np.asarray(j(x, t, ctx, hint_z))
+    np.asarray(j(params, fused, x, t, ctx, hint_z))
     dt = (time.perf_counter() - t0) / reps
     print(f"  b8 eval      {dt*1e3:7.3f} ms   (DDIM step ~= this + eps math; "
           f"50 steps -> {dt*50:.2f} s/batch)")
