@@ -22,6 +22,22 @@ from ctrlora_tpu.ops.flash_attention import dot_product_attention
 Dtype = Any
 
 
+class _Kernel(nn.Module):
+    """Declares a Dense-compatible bias-free kernel ({name}/kernel, same init
+    RNG path as Dense) without applying it — lets the caller concatenate
+    several projections into one MXU dot (q/k/v fusion cuts kernel-launch
+    count, which is material on remote-dispatch runtimes)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_features, self.features), jnp.float32,
+        )
+
+
 class CrossAttention(nn.Module):
     """Self- or cross-attention with optional LoRA on q/k/v/out and an
     optional IP-Adapter image branch (extra k/v projections over the last
@@ -47,12 +63,34 @@ class CrossAttention(nn.Module):
             ip_ctx = ctx[:, -self.ip_tokens:, :]
             ctx = ctx[:, : ctx.shape[1] - self.ip_tokens, :]
 
-        dense = lambda name: Dense(
-            inner, use_bias=False, dtype=self.dtype, lora=self.lora, name=name
-        )
-        q = dense("to_q")(x, lora_idx)
-        k = dense("to_k")(ctx, lora_idx)
-        v = dense("to_v")(ctx, lora_idx)
+        if self.lora is None or self.lora.n_loras == 0:
+            # fused projections: the concatenated weight is loop-invariant
+            # (hoisted out of the sampler scan), so self-attn q/k/v is ONE
+            # dot and cross-attn k/v one dot instead of three/two
+            in_f = x.shape[-1]
+            wq = _Kernel(inner, name="to_q")(in_f)
+            wk = _Kernel(inner, name="to_k")(ctx.shape[-1])
+            wv = _Kernel(inner, name="to_v")(ctx.shape[-1])
+            if is_self:
+                qkv = jnp.dot(
+                    x.astype(self.dtype),
+                    jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype),
+                )
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+            else:
+                q = jnp.dot(x.astype(self.dtype), wq.astype(self.dtype))
+                kv = jnp.dot(
+                    ctx.astype(self.dtype),
+                    jnp.concatenate([wk, wv], axis=1).astype(self.dtype),
+                )
+                k, v = jnp.split(kv, 2, axis=-1)
+        else:
+            dense = lambda name: Dense(
+                inner, use_bias=False, dtype=self.dtype, lora=self.lora, name=name
+            )
+            q = dense("to_q")(x, lora_idx)
+            k = dense("to_k")(ctx, lora_idx)
+            v = dense("to_v")(ctx, lora_idx)
 
         b, sq, _ = q.shape
         split = lambda t: t.reshape(b, t.shape[1], self.heads, self.dim_head).transpose(0, 2, 1, 3)

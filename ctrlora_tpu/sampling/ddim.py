@@ -135,10 +135,16 @@ def ddim_sample(
         )
         return out, None
 
+    # eta == 0 -> every sigma is exactly 0: skip the per-step rng splits and
+    # the normal draw entirely (each is several extra kernel launches per
+    # step, and launch overhead is material on remote-dispatch runtimes)
+    stochastic = cfg.eta != 0.0 or ddim_schedule is not None
+
     def step(carry, inputs):
         img, rng = carry
         t_scalar, a_t, a_prev, s1m_t, sigma_t, scale = inputs
-        rng, noise_rng, mask_rng = jax.random.split(rng, 3)
+        if stochastic or mask is not None:
+            rng, noise_rng, mask_rng = jax.random.split(rng, 3)
 
         if mask is not None:
             assert x0 is not None
@@ -161,8 +167,11 @@ def ddim_sample(
             pred_x0 = (img - s1m_t * e_t) / jnp.sqrt(a_t)
 
         dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * e_t
-        noise = sigma_t * jax.random.normal(noise_rng, img.shape, img.dtype) * cfg.temperature
-        img_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
+        img_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt
+        if stochastic:
+            img_prev = img_prev + (
+                sigma_t * cfg.temperature
+            ) * jax.random.normal(noise_rng, img.shape, img.dtype)
         return (img_prev, rng), None
 
     (img, _), _ = jax.lax.scan(
