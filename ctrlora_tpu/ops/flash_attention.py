@@ -115,14 +115,19 @@ def _flash_forward(q, k, v, scale):
     b, h, sq, d = q.shape
     sk = k.shape[2]
     block_q = _pick_block(sq, env="CTRLORA_FLASH_BQ")
-    # single k-sweep when the [block_q, sk] logits block fits VMEM (8MB
-    # fp32): no online-softmax rescale, one big MXU dot — measured -19% at
-    # SD's dominant [8,8,4096,40] shape vs 512/512 chunking
+    # single k-sweep when the kernel's VMEM stack fits: [block_q, sk] fp32
+    # logits + full bf16 K/V (lane-padded) + q/acc. No online-softmax
+    # rescale, one big MXU dot — measured -19% at SD's dominant
+    # [8,8,4096,40] shape vs 512/512 chunking. The d term matters: the
+    # VAE's single-head d=512 attention blew the 16MB scoped limit when
+    # only block_q*sk was budgeted.
     import os as _os
 
+    dpad = max(d, 128)
+    vmem_est = 4 * (block_q or 0) * sk + 2 * 2 * sk * dpad + 8 * (block_q or 0) * dpad
     if _os.environ.get("CTRLORA_FLASH_BK"):
         block_k = _pick_block(sk, env="CTRLORA_FLASH_BK")
-    elif block_q is not None and block_q * sk <= (1 << 21):
+    elif block_q is not None and vmem_est <= 13 * (1 << 20):
         block_k = sk
     else:
         block_k = _pick_block(sk)
