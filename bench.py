@@ -40,6 +40,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache: the 50-step scan costs ~15 min to compile
+# through the remote AOT compiler; cached recompiles skip most of it
+try:
+    import os as _os
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"),
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+except Exception:
+    pass
+
 from ctrlora_tpu.configs import (
     TrainConfig, ctrlora_inference_config, ctrlora_finetune_config, tiny_test_config,
 )

@@ -3,6 +3,8 @@ end to end through the train step and sampler on tiny configs."""
 
 import dataclasses
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -58,6 +60,7 @@ def _run_variant(variant):
     return float(m["loss"])
 
 
+@pytest.mark.slow
 def test_vanilla_controlnet_pipeline():
     _run_variant("controlnet")
 

@@ -39,6 +39,7 @@ def _build_ref():
     return backbone, head
 
 
+@pytest.mark.slow
 def test_uniformer_upernet_parity():
     import torch
 
