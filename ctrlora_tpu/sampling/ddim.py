@@ -76,10 +76,13 @@ def ddim_sample(
     # (reference: uc_cat = c_cat, cldm/cldm.py:398)
     if use_cfg:
         full_context = jnp.concatenate([context, uncond_context], axis=0)
+        # replace() keeps every other field — notably control_params, the
+        # fused-LoRA override; rebuilding positionally once dropped it and
+        # CFG sampling silently fell back to the slower runtime-LoRA branch
         full_conds = (
             [
-                Conditioning(
-                    jnp.concatenate([c.hint, c.hint], axis=0), c.lora_idx, c.weight
+                dataclasses.replace(
+                    c, hint=jnp.concatenate([c.hint, c.hint], axis=0)
                 )
                 for c in conds
             ]

@@ -272,3 +272,50 @@ def test_trainer_ema_and_shard_opt_state(tmp_path):
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(tr2.state.step) == 3
+
+
+def test_cfg_sampling_respects_control_params_override():
+    """The CFG path must carry Conditioning.control_params through to the
+    control branch (a positional rebuild once dropped the field and CFG
+    sampling silently fell back to params.control): a zeroed override must
+    reproduce the no-control trajectory even when the live control tree
+    has non-zero taps."""
+    from ctrlora_tpu.sampling.ddim import DDIMConfig, ddim_sample
+
+    pipe, params = make_pipe()
+
+    # give the live control tree non-zero zero-convs so dropping the
+    # override would visibly change the output
+    def bump(path, x):
+        ks = jax.tree_util.keystr(path)
+        if "kernel" in ks and "zero_" in ks:
+            return jax.random.normal(jax.random.PRNGKey(3), x.shape) * 0.1
+        return x
+
+    params = params._replace(
+        control=jax.tree_util.tree_map_with_path(bump, params.control)
+    )
+    zeroed = jax.tree_util.tree_map(jnp.zeros_like, params.control)
+
+    B, lat = 1, 4
+    ctx = jnp.ones((B, 16, pipe.cfg.clip.hidden_size)) * 0.01
+    un = jnp.zeros_like(ctx)
+    hint = jnp.ones((B, lat, lat, 4)) * 0.5
+    cfg = DDIMConfig(steps=2, guidance_scale=3.0)
+    rng = jax.random.PRNGKey(0)
+
+    out_override = ddim_sample(
+        pipe, params, rng, ctx, un,
+        [Conditioning(hint, control_params=zeroed)], (B, lat, lat, 4), cfg,
+    )
+    out_nocontrol = ddim_sample(
+        pipe, params, rng, ctx, un, None, (B, lat, lat, 4), cfg,
+    )
+    out_livecontrol = ddim_sample(
+        pipe, params, rng, ctx, un,
+        [Conditioning(hint)], (B, lat, lat, 4), cfg,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_override), np.asarray(out_nocontrol), atol=1e-5
+    )
+    assert float(jnp.abs(out_livecontrol - out_nocontrol).max()) > 1e-4
