@@ -39,6 +39,10 @@ class DDIMConfig:
     # per-step guidance scales overriding guidance_scale (e.g. guess mode);
     # indexed in sampling order (t descending)
     ucg_schedule: Optional[Sequence[float]] = None
+    # lax.scan body unroll: >1 lets XLA fuse across step boundaries and
+    # halves the while-loop iteration overhead (material on runtimes with
+    # high per-dispatch latency). Must divide `steps`.
+    scan_unroll: int = 1
 
 
 def ddim_sample(
@@ -138,10 +142,14 @@ def ddim_sample(
         )
         return out, None
 
-    # eta == 0 -> every sigma is exactly 0: skip the per-step rng splits and
-    # the normal draw entirely (each is several extra kernel launches per
-    # step, and launch overhead is material on remote-dispatch runtimes)
-    stochastic = cfg.eta != 0.0 or ddim_schedule is not None
+    # every sigma exactly 0 -> skip the per-step rng splits and the normal
+    # draw entirely (each is several extra kernel launches per step, and
+    # launch overhead is material on remote-dispatch runtimes). Decided from
+    # the concrete sigma table — trace-time constants — so explicit
+    # sub-schedules (ddim_decode_from) also get the eta-0 fast path.
+    import numpy as _np
+
+    stochastic = bool(_np.max(_np.asarray(dd.sigmas)) > 0) if dd.num_steps else False
 
     def step(carry, inputs):
         img, rng = carry
@@ -178,9 +186,77 @@ def ddim_sample(
         return (img_prev, rng), None
 
     (img, _), _ = jax.lax.scan(
-        step, (img, rng), (ts_seq, a_seq, ap_seq, s1m_seq, sig_seq, ucg_seq)
+        step, (img, rng), (ts_seq, a_seq, ap_seq, s1m_seq, sig_seq, ucg_seq),
+        unroll=cfg.scan_unroll if dd.num_steps % cfg.scan_unroll == 0 else 1,
     )
     return img
+
+
+def ddim_encode(
+    pipe: CtrLoraPipeline,
+    params: Params,
+    x0: jnp.ndarray,
+    t_enc: int,
+    context: jnp.ndarray,
+    uncond_context: Optional[jnp.ndarray] = None,
+    conds: Optional[Sequence[Conditioning]] = None,
+    steps: int = 50,
+    guidance_scale: float = 1.0,
+    control_scales: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Deterministic DDIM inversion: run the first `t_enc` rungs of the DDIM
+    ladder FORWARD, mapping clean latents x0 to x_{t_enc} such that eta=0
+    decoding reproduces x0 (reference: cldm/ddim_hacked.py:233-279).
+
+    Per step i (t ascending, a = ddim_alphas_prev[i], a_next = ddim_alphas[i]):
+        x <- sqrt(a_next/a) x + sqrt(a_next) (sqrt(1/a_next-1) - sqrt(1/a-1)) eps
+    One lax.scan, CFG via the stacked 2B batch like ddim_sample.
+    """
+    import numpy as np
+
+    dd = make_ddim_schedule(pipe.schedule, steps)
+    assert t_enc <= dd.num_steps
+    a_next = np.asarray(dd.alphas)[:t_enc]
+    a = np.asarray(dd.alphas_prev)[:t_enc]
+    ts_seq = jnp.asarray(dd.timesteps)[:t_enc]
+    xt_w = jnp.asarray(np.sqrt(a_next / a), jnp.float32)
+    eps_w = jnp.asarray(
+        np.sqrt(a_next) * (np.sqrt(1.0 / a_next - 1.0) - np.sqrt(1.0 / a - 1.0)),
+        jnp.float32,
+    )
+
+    B = x0.shape[0]
+    use_cfg = uncond_context is not None and guidance_scale != 1.0
+    if use_cfg:
+        full_context = jnp.concatenate([context, uncond_context], axis=0)
+        full_conds = (
+            [
+                dataclasses.replace(c, hint=jnp.concatenate([c.hint, c.hint], axis=0))
+                for c in conds
+            ]
+            if conds
+            else None
+        )
+    else:
+        full_context = context
+        full_conds = conds
+
+    def step(x, inputs):
+        t_scalar, w_x, w_e = inputs
+        tvec = jnp.full((B,), t_scalar, jnp.int32)
+        if use_cfg:
+            out = pipe.apply_model(
+                params, jnp.concatenate([x, x]), jnp.concatenate([tvec, tvec]),
+                full_context, full_conds, control_scales,
+            )
+            eps = out[B:] + guidance_scale * (out[:B] - out[B:])
+        else:
+            eps = pipe.apply_model(params, x, tvec, full_context, full_conds,
+                                   control_scales)
+        return w_x * x + w_e * eps, None
+
+    x, _ = jax.lax.scan(step, x0, (ts_seq, xt_w, eps_w))
+    return x
 
 
 def ddim_stochastic_encode(

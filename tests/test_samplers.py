@@ -14,7 +14,9 @@ import numpy as np
 
 from ctrlora_tpu.configs import tiny_test_config
 from ctrlora_tpu.pipeline import Conditioning, CtrLoraPipeline
-from ctrlora_tpu.sampling.ddim import DDIMConfig, ddim_sample
+from ctrlora_tpu.sampling.ddim import (
+    DDIMConfig, ddim_decode_from, ddim_encode, ddim_sample,
+)
 from ctrlora_tpu.sampling.dpm_solver import dpm_solver_sample
 from ctrlora_tpu.sampling.plms import plms_sample
 from ctrlora_tpu.schedules import make_ddim_schedule
@@ -99,3 +101,56 @@ def test_higher_order_converges_to_ddim_truth():
     assert e_dpm < e_ddim5, (e_dpm, e_ddim5)
     # determinism
     assert err(run(dpm_solver_sample, 50)) == e_dpm
+
+
+def test_ddim_encode_zero_eps_exact_roundtrip():
+    # with eps=0 the inversion telescopes to sqrt(alphas[t-1]/alphas_prev[0])
+    # and eta-0 decode multiplies by exactly the inverse -> identity
+    pipe, params = _tiny_pipe()
+    pipe.apply_model = lambda p, x, t, *a, **kw: jnp.zeros_like(x)
+    ctx, conds, shape = _common_args(pipe, params)
+    x0 = jax.random.normal(jax.random.PRNGKey(3), shape)
+    steps, t_enc = 20, 12
+
+    dd = make_ddim_schedule(pipe.schedule, steps)
+    x_enc = ddim_encode(pipe, params, x0, t_enc, ctx, conds=conds, steps=steps)
+    factor = float(np.sqrt(dd.alphas[t_enc - 1] / dd.alphas_prev[0]))
+    np.testing.assert_allclose(np.asarray(x_enc), np.asarray(x0) * factor,
+                               rtol=1e-4, atol=1e-5)
+
+    back = ddim_decode_from(pipe, params, x_enc, t_enc, ctx, None, conds,
+                            DDIMConfig(steps=steps), jax.random.PRNGKey(4))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x0),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_ddim_encode_model_roundtrip_and_cfg():
+    # real tiny model: encode then eta-0 decode must approximately invert
+    # (discretization error only), and much better than skipping the encode
+    pipe, params = _tiny_pipe()
+    ctx, conds, shape = _common_args(pipe, params)
+    x0 = jax.random.normal(jax.random.PRNGKey(3), shape) * 0.5
+    steps, t_enc = 50, 25
+
+    x_enc = ddim_encode(pipe, params, x0, t_enc, ctx, conds=conds, steps=steps)
+    back = np.asarray(
+        ddim_decode_from(pipe, params, x_enc, t_enc, ctx, None, conds,
+                         DDIMConfig(steps=steps), jax.random.PRNGKey(4))
+    )
+    err = np.abs(back - np.asarray(x0)).max()
+    naive = np.abs(
+        np.asarray(
+            ddim_decode_from(pipe, params, x0, t_enc, ctx, None, conds,
+                             DDIMConfig(steps=steps), jax.random.PRNGKey(4))
+        )
+        - np.asarray(x0)
+    ).max()
+    assert err < 0.15, err
+    assert err < naive * 0.5, (err, naive)
+
+    # CFG path: runs and differs from the uncond-free encode
+    ucond = jnp.zeros_like(ctx)
+    x_cfg = ddim_encode(pipe, params, x0, t_enc, ctx, uncond_context=ucond,
+                        conds=conds, steps=steps, guidance_scale=3.0)
+    assert np.isfinite(np.asarray(x_cfg)).all()
+    assert np.abs(np.asarray(x_cfg) - np.asarray(x_enc)).max() > 1e-6
