@@ -73,6 +73,33 @@ def fuse_control_tree(
     return fused
 
 
+def assert_fused_structure(tree: Any) -> None:
+    """Reject a control override tree that still carries runtime-LoRA leaves.
+
+    Flax's apply silently ignores extra `lora_down`/`lora_up` collections, so
+    passing an UNFUSED tree as `Conditioning.control_params` would silently
+    drop the LoRA deltas instead of erroring. Overrides must come from
+    `fuse_control_tree`."""
+    bad = []
+
+    def walk(path, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k in ("lora_down", "lora_up"):
+                    bad.append(f"{path}/{k}")
+                else:
+                    walk(f"{path}/{k}", v)
+
+    walk("", tree)
+    if bad:
+        raise ValueError(
+            "Conditioning.control_params must be a FUSED tree (lora_fuse."
+            "fuse_control_tree); got runtime-LoRA leaves "
+            + ", ".join(bad[:3])
+            + (" ..." if len(bad) > 3 else "")
+        )
+
+
 def fused_control_config(cfg: ControlNetConfig) -> ControlNetConfig:
     """Config for the fused tree: no LoRA params, no banks."""
     return dataclasses.replace(cfg, lora=LoRAConfig(n_loras=0))

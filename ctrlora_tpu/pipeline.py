@@ -211,6 +211,9 @@ class CtrLoraPipeline:
             cparams = cond.control_params
             control_module = self.control
             if cparams is not None and self.fused_control is not None:
+                from ctrlora_tpu.lora_fuse import assert_fused_structure
+
+                assert_fused_structure(cparams)
                 control_module = self.fused_control
             elif cparams is None:
                 cparams = params.control

@@ -279,7 +279,11 @@ def test_cfg_sampling_respects_control_params_override():
     control branch (a positional rebuild once dropped the field and CFG
     sampling silently fell back to params.control): a zeroed override must
     reproduce the no-control trajectory even when the live control tree
-    has non-zero taps."""
+    has non-zero taps. Overrides must be FUSED trees — a runtime tree (with
+    lora_down leaves flax would silently ignore) is rejected."""
+    import pytest
+
+    from ctrlora_tpu.lora_fuse import fuse_control_tree
     from ctrlora_tpu.sampling.ddim import DDIMConfig, ddim_sample
 
     pipe, params = make_pipe()
@@ -295,7 +299,10 @@ def test_cfg_sampling_respects_control_params_override():
     params = params._replace(
         control=jax.tree_util.tree_map_with_path(bump, params.control)
     )
-    zeroed = jax.tree_util.tree_map(jnp.zeros_like, params.control)
+    runtime_zeroed = jax.tree_util.tree_map(jnp.zeros_like, params.control)
+    zeroed = fuse_control_tree(
+        runtime_zeroed, 0, pipe.cfg.control.lora
+    )
 
     B, lat = 1, 4
     ctx = jnp.ones((B, 16, pipe.cfg.clip.hidden_size)) * 0.01
@@ -319,3 +326,11 @@ def test_cfg_sampling_respects_control_params_override():
         np.asarray(out_override), np.asarray(out_nocontrol), atol=1e-5
     )
     assert float(jnp.abs(out_livecontrol - out_nocontrol).max()) > 1e-4
+
+    # an unfused (runtime-structured) override is rejected, not silently
+    # run without its LoRA deltas
+    with pytest.raises(ValueError, match="FUSED"):
+        pipe.apply_model(
+            params, jnp.zeros((B, lat, lat, 4)), jnp.array([500]), ctx,
+            [Conditioning(hint, control_params=runtime_zeroed)],
+        )
