@@ -202,25 +202,3 @@ def _bbox():
     return BBoxDetector()
 
 
-def _stub(name: str, needs: str):
-    def factory():
-        raise NotImplementedError(
-            f"annotator {name!r} requires {needs}; its Flax port is scheduled "
-            f"for a later round (reference: annotator/{name})"
-        )
-
-    return factory
-
-
-for _name, _needs in {
-    "depth": "MiDaS DPT weights",
-    "normal": "MiDaS normal-from-depth",
-    "openpose": "OpenPose body/hand/face weights",
-    "seg": "UniFormer/UperNet weights",
-    "mlsd": "MobileV2-MLSD weights",
-    "lineart": "informative-drawings generator weights",
-    "lineart_anime": "anime lineart UNet weights",
-    "lineart_anime_with_color_prompt": "anime lineart UNet weights",
-    "pidinet": "PiDiNet weights",
-}.items():
-    _FACTORIES.setdefault(_name, _stub(_name, _needs))

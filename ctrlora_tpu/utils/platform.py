@@ -17,6 +17,12 @@ def ensure_platform_from_env(default: str | None = None) -> None:
         return
     import jax
 
+    if "," not in want and want != "cpu":
+        # keep a host CPU backend registered alongside the accelerator:
+        # param init/surgery on the host (then one device_put) is seconds,
+        # while eager init through a remote-execution backend is thousands
+        # of tiny device ops (~13 min for SD1.5-sized trees)
+        want = want + ",cpu"
     try:
         jax.config.update("jax_platforms", want)
     except Exception:
@@ -41,6 +47,8 @@ def effective_platform() -> str:
 
     dd = getattr(jax.config, "jax_default_device", None)
     if dd is not None:
+        if isinstance(dd, str):  # newer jax accepts a platform string too
+            return dd
         p = getattr(dd, "platform", None)
         if p:
             return p
