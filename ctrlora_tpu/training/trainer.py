@@ -174,8 +174,35 @@ def restore_train_state(path: str, template: TrainState) -> TrainState:
     )
 
 
+def _txt_strip(prompts, width: int, height: int = 48) -> np.ndarray:
+    """Render prompts as an image strip (role of log_txt_as_img,
+    ldm/util.py:11) — B tiles side by side."""
+    from PIL import Image, ImageDraw
+
+    tiles = []
+    per = max(1, width // max(1, len(prompts)))
+    for p in prompts:
+        tile = Image.new("RGB", (per, height), "white")
+        d = ImageDraw.Draw(tile)
+        txt = str(p)
+        # crude wrap at ~per/7 px per char
+        n = max(4, per // 7)
+        d.text((2, 2), "\n".join(txt[i : i + n] for i in range(0, len(txt), n))[:256],
+               fill="black")
+        tiles.append(np.asarray(tile))
+    strip = np.concatenate(tiles, axis=1)
+    if strip.shape[1] < width:  # pad to grid width
+        pad = np.full((height, width - strip.shape[1], 3), 255, np.uint8)
+        strip = np.concatenate([strip, pad], axis=1)
+    return strip[:, :width]
+
+
 def make_image_log_hook(pipe: CtrLoraPipeline, workdir: str, ddim_steps: int = 20):
-    """Periodic sample grid (role of ImageLogger, cldm/logger.py:12-78)."""
+    """Periodic training grid (role of ImageLogger, cldm/logger.py:12-78):
+    control / VAE reconstruction / CFG-9.0 samples rows plus the prompts
+    rendered as text, mirroring the reference's log_images keys
+    (cldm/cldm.py:351-409: reconstruction, control, conditioning,
+    samples_cfg_scale_9.00)."""
     from ctrlora_tpu.sampling.ddim import DDIMConfig, ddim_sample
 
     def hook(state: TrainState, step: int, batch: dict) -> None:
@@ -191,6 +218,7 @@ def make_image_log_hook(pipe: CtrLoraPipeline, workdir: str, ddim_steps: int = 2
         ctx = pipe.encode_text_tokens(params, ids)
         unc = pipe.encode_text_tokens(params, jnp.zeros_like(ids))
         hint = jnp.asarray(batch["hint"][:B])
+        jpg = jnp.asarray(batch["jpg"][:B])
         if pipe.cfg.control is not None and pipe.cfg.control.hint_mode == "latent":
             hint_in = pipe.encode_first_stage(params, hint)
         else:
@@ -204,10 +232,23 @@ def make_image_log_hook(pipe: CtrLoraPipeline, workdir: str, ddim_steps: int = 2
             (B, h, w, 4), DDIMConfig(steps=ddim_steps, guidance_scale=9.0),
         )
         img = pipe.decode_first_stage(params, z)
-        img = np.asarray(jnp.clip(img * 127.5 + 127.5, 0, 255)).astype(np.uint8)
-        hint_u8 = (np.asarray(hint) * 255).astype(np.uint8)
-        row = np.concatenate([np.concatenate([h_, i_], axis=1) for h_, i_ in zip(hint_u8, img)], axis=0)
-        Image.fromarray(row).save(
+        recon = pipe.decode_first_stage(params, pipe.encode_first_stage(params, jpg))
+
+        def to_u8_row(x, signed=True):
+            x = jnp.clip(x * 127.5 + 127.5, 0, 255) if signed else jnp.clip(x * 255, 0, 255)
+            arr = np.asarray(x).astype(np.uint8)
+            return np.concatenate(list(arr), axis=1)  # B tiles side by side
+
+        rows = [
+            to_u8_row(hint, signed=False),  # control
+            to_u8_row(recon),  # reconstruction
+            to_u8_row(img),  # samples_cfg_scale_9.0
+        ]
+        txts = batch.get("txt")
+        if txts is not None:
+            rows.insert(0, _txt_strip(list(txts[:B]), rows[0].shape[1]))
+        grid = np.concatenate(rows, axis=0)
+        Image.fromarray(grid).save(
             os.path.join(workdir, "image_log", f"step_{step:08d}.png")
         )
 

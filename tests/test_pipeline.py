@@ -334,3 +334,30 @@ def test_cfg_sampling_respects_control_params_override():
             params, jnp.zeros((B, lat, lat, 4)), jnp.array([500]), ctx,
             [Conditioning(hint, control_params=runtime_zeroed)],
         )
+
+
+def test_image_log_hook_grid(tmp_path):
+    """The periodic grid mirrors the reference's log_images rows
+    (cldm/cldm.py:351-409): prompt strip + control + reconstruction +
+    CFG samples, stacked vertically, B examples side by side."""
+    import os
+
+    from PIL import Image
+
+    from ctrlora_tpu.training.train_state import create_train_state
+    from ctrlora_tpu.training.trainer import make_image_log_hook
+
+    pipe, params = make_pipe()
+    state, _, _ = create_train_state(params, TrainConfig(trainable="lora"))
+    workdir = str(tmp_path / "run")
+    os.makedirs(os.path.join(workdir, "image_log"))
+    hook = make_image_log_hook(pipe, workdir, ddim_steps=2)
+    batch = make_batch(B=2)
+    batch["txt"] = ["a prompt", "another prompt"]
+    hook(state, 7, batch)
+    path = os.path.join(workdir, "image_log", "step_00000007.png")
+    assert os.path.isfile(path)
+    im = np.asarray(Image.open(path))
+    # 48px text strip + 3 rows of 32px images; 2 examples of 32px wide
+    assert im.shape == (48 + 3 * 32, 2 * 32, 3), im.shape
+    assert im.std() > 0  # not a blank canvas
