@@ -33,6 +33,9 @@ def main():
         ("hed", "canny", "seg", "depth", "normal", "openpose", "hedsketch",
          "bbox", "outpainting")
     ))
+    p.add_argument("--config", type=str, default=None,
+                   help="preset name or YAML (default: ctrlora_pretrain)")
+    p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--sd_ckpt", type=str, default=None)
     p.add_argument("--cn_ckpt", type=str, default=None, help="control init (tool_make_control_init)")
     p.add_argument("--resume", type=str, default=None)
@@ -61,13 +64,31 @@ def main():
     from ctrlora_tpu.utils.loading import load_ctrlora
 
     init_distributed()
-    cfg = ctrlora_pretrain_config(tasks=args.tasks, lora_rank=args.lora_rank)
+    if args.config:
+        import dataclasses as _dc
+
+        from ctrlora_tpu.configs import LoRAConfig, load_model_config
+
+        cfg = load_model_config(args.config)
+        if cfg.control is not None and cfg.control.lora.n_loras != len(args.tasks):
+            # one stacked LoRA bank per task
+            cfg = _dc.replace(
+                cfg,
+                control=_dc.replace(
+                    cfg.control,
+                    lora=_dc.replace(cfg.control.lora, n_loras=len(args.tasks)),
+                ),
+                tasks=tuple(args.tasks),
+            )
+    else:
+        cfg = ctrlora_pretrain_config(tasks=args.tasks, lora_rank=args.lora_rank)
     pipe = CtrLoraPipeline(cfg)
 
     datasets = [
         MultiGen20M(
             os.path.join(args.json_dir, f"aesthetics_plus_all_group_{t}_all.json"),
             args.meta_dir, t, drop_rate=args.drop_rate,
+            resolution=args.resolution,
         )
         for t in args.tasks
     ]

@@ -12,13 +12,13 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(cmd, **kw):
+def run(cmd, timeout=540, **kw):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
     r = subprocess.run(
         [sys.executable] + cmd, cwd=REPO, env=env, capture_output=True, text=True,
-        timeout=540, **kw,
+        timeout=timeout, **kw,
     )
     assert r.returncode == 0, f"cmd failed:\nSTDOUT:{r.stdout[-3000:]}\nSTDERR:{r.stderr[-3000:]}"
     return r
@@ -133,3 +133,86 @@ def test_tool_make_control_init_and_combine(tmp_path):
     combined = torch.load(out_file, weights_only=False)
     assert "logvar" in combined and combined["logvar"].shape == (1000,)
     assert "control_model.x.lora_layer.down.weight" in combined
+
+
+@pytest.fixture(scope="module")
+def multigen_dir(tmp_path_factory):
+    """Tiny 2-task MultiGen-20M-format tree: json_files/ + meta with
+    images/ and conditions/ (reference layout: datasets/multigen20m.py)."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("mg")
+    (root / "json_files").mkdir()
+    (root / "images").mkdir()
+    (root / "conditions").mkdir()
+    rng = np.random.default_rng(1)
+    for task in ("hed", "canny"):
+        with open(root / "json_files" / f"aesthetics_plus_all_group_{task}_all.json", "w") as f:
+            for i in range(4):
+                img = f"{task}_{i}.jpg"
+                cond = f"{task}_{i}_cond.jpg"
+                cv2.imwrite(str(root / "images" / img),
+                            rng.integers(0, 255, (40, 48, 3), np.uint8))
+                cv2.imwrite(str(root / "conditions" / cond),
+                            rng.integers(0, 255, (40, 48, 3), np.uint8))
+                f.write(json.dumps({
+                    "source": f"./{img}", f"control_{task}": cond,
+                    "prompt": f"a {task} image {i}",
+                }) + "\n")
+    return str(root)
+
+
+@pytest.mark.slow
+def test_pretrain_extract_sample_cycle(multigen_dir, dataset_dir, tmp_path):
+    """Mirrors the reference pretrain->deploy flow: multi-task stacked-LoRA
+    pretraining (scripts/train_ctrlora_pretrain.py:50-108), per-task LoRA
+    extraction (tool_extract_weights.py:55-66), then sampling with one
+    extracted LoRA."""
+    cfg_yaml = str(tmp_path / "tiny_pretrain.yaml")
+    with open(cfg_yaml, "w") as f:
+        f.write(
+            "preset: tiny\n"
+            "model:\n"
+            "  control:\n"
+            "    lora: {n_loras: 2}\n"
+            "  tasks: [hed, canny]\n"
+        )
+
+    workdir = str(tmp_path / "run")
+    run([
+        "scripts/train_ctrlora_pretrain.py", "--config", cfg_yaml,
+        "--json_dir", os.path.join(multigen_dir, "json_files"),
+        "--meta_dir", multigen_dir, "--tasks", "hed", "canny",
+        "--resolution", "32", "--bs", "2", "--max_steps", "4",
+        "--lr", "1e-4", "--ckpt_logger_freq", "4", "--img_logger_freq", "1000",
+        "--name", os.path.relpath(workdir, os.path.join(REPO, "runs")),
+        "--num_workers", "2",
+    ], timeout=1200)
+    runs = os.path.join(REPO, "runs")
+    rundir = workdir if os.path.isdir(workdir) else max(
+        (os.path.join(runs, d) for d in os.listdir(runs)), key=os.path.getmtime
+    )
+    ckpts = [d for d in os.listdir(rundir) if d.startswith("ckpt_")]
+    assert ckpts, f"no checkpoint in {rundir}: {os.listdir(rundir)}"
+    ckpt = os.path.join(rundir, sorted(ckpts)[-1])
+
+    # per-task LoRA extraction from the base (--from_base)
+    lora_dir = str(tmp_path / "loras")
+    run([
+        "scripts/tool_extract_weights.py", "-t", "lora", "--from_base",
+        "--ckpt", ckpt, "--save_path", lora_dir, "--config", cfg_yaml,
+    ])
+    assert sorted(os.listdir(lora_dir)) == ["canny.ckpt", "hed.ckpt"]
+
+    # sample with the extracted hed LoRA in slot 0 of a 1-LoRA model
+    sample_yaml = str(tmp_path / "tiny_1lora.yaml")
+    with open(sample_yaml, "w") as f:
+        f.write("preset: tiny\nmodel:\n  control:\n    lora: {n_loras: 1}\n")
+    out_dir = str(tmp_path / "samples")
+    run([
+        "scripts/sample.py", "--config", sample_yaml, "--dataroot", dataset_dir,
+        "--resolution", "32", "--save_dir", out_dir,
+        "--lora_ckpt", os.path.join(lora_dir, "hed.ckpt"),
+        "--n_samples", "2", "--ddim_steps", "2", "--bs", "2",
+    ])
+    assert os.path.isfile(os.path.join(out_dir, "sample", "000000.png"))
