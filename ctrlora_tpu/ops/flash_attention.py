@@ -92,7 +92,14 @@ def _pick_block(size: int, preferred: int = 512, env: Optional[str] = None) -> O
     import os
 
     if env and os.environ.get(env):  # experiment knob for perf/ microbenches
-        preferred = int(os.environ[env])
+        try:
+            preferred = int(os.environ[env])
+        except ValueError:
+            import warnings
+
+            warnings.warn(f"ignoring malformed {env}={os.environ[env]!r}")
+    # a preferred block that doesn't divide `size` falls through to the
+    # defaults below rather than erroring
     for cand in (preferred, 512, 256, 128):
         if cand <= size and size % cand == 0:
             return cand

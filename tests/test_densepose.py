@@ -257,3 +257,150 @@ def test_detector_contract(oracle_backbone, rng, monkeypatch):
     img = (rng.uniform(0, 255, (80, 100, 3))).astype(np.uint8)
     out = det(img)
     assert out.shape == (80, 100, 3) and out.dtype == np.uint8
+
+
+def _np_conv2d(x, w, b=None, stride=1, pad=0, dil=1):
+    """NCHW conv, torch semantics, via kernel-offset accumulation."""
+    n, cin, h, wd = x.shape
+    cout, _, kh, kw = w.shape
+    xp = np.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+    oh = (h + 2 * pad - dil * (kh - 1) - 1) // stride + 1
+    ow = (wd + 2 * pad - dil * (kw - 1) - 1) // stride + 1
+    out = np.zeros((n, cout, oh, ow), np.float64)
+    for i in range(kh):
+        for j in range(kw):
+            patch = xp[:, :, i * dil : i * dil + oh * stride : stride,
+                       j * dil : j * dil + ow * stride : stride]
+            out += np.einsum("nchw,oc->nohw", patch, w[:, :, i, j])
+    if b is not None:
+        out += b[None, :, None, None]
+    return out
+
+
+def _np_gn32(x, g, b, eps=1e-5):
+    n, c, h, w = x.shape
+    xg = x.reshape(n, 32, c // 32, h, w)
+    m = xg.mean(axis=(2, 3, 4), keepdims=True)
+    v = xg.var(axis=(2, 3, 4), keepdims=True)
+    xg = (xg - m) / np.sqrt(v + eps)
+    return xg.reshape(n, c, h, w) * g[None, :, None, None] + b[None, :, None, None]
+
+
+def _np_convtranspose(x, w, b, stride=2, pad=1):
+    """torch ConvTranspose2d: zero-insert upsample then correlate with the
+    spatially-flipped, channel-transposed kernel (w is [cin, cout, k, k])."""
+    n, cin, h, wd = x.shape
+    _, cout, k, _ = w.shape
+    z = np.zeros((n, cin, stride * (h - 1) + 1, stride * (wd - 1) + 1), x.dtype)
+    z[:, :, ::stride, ::stride] = x
+    wf = w[:, :, ::-1, ::-1].transpose(1, 0, 2, 3)  # -> [cout, cin, k, k]
+    return _np_conv2d(z, wf, b, stride=1, pad=k - 1 - pad)
+
+
+def _np_bilinear2x(x):
+    """align_corners=False bilinear x2 (torch F.interpolate default)."""
+    n, c, h, w = x.shape
+    oh, ow = 2 * h, 2 * w
+    ys = (np.arange(oh) + 0.5) / 2 - 0.5
+    xs = (np.arange(ow) + 0.5) / 2 - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    fy = np.clip(ys - np.floor(ys), 0, 1)[None, None, :, None]
+    fx = np.clip(xs - np.floor(xs), 0, 1)[None, None, None, :]
+    fy = np.where((ys < 0)[None, None, :, None], 0.0, fy)
+    fx = np.where((xs < 0)[None, None, None, :], 0.0, fx)
+    a = x[:, :, y0][:, :, :, x0]
+    bq = x[:, :, y0][:, :, :, x1]
+    cq = x[:, :, y1][:, :, :, x0]
+    d = x[:, :, y1][:, :, :, x1]
+    return (a * (1 - fy) * (1 - fx) + bq * (1 - fy) * fx
+            + cq * fy * (1 - fx) + d * fy * fx)
+
+
+def test_deeplab_chart_head_weight_level_parity():
+    """Round-2 gap: the DeepLab chart head had no weight-level validation.
+    Synthesize a structurally exact head state dict (the test_bbox
+    technique), push it through the convert_densepose bridge + jitted
+    deeplab_head_forward, and match an independent numpy oracle that
+    implements the published densepose-deeplab conventions from scratch
+    (ASPP 1x1/dilated-6,12,56/image-pool branches, GN32, stacked 3x3 convs,
+    ConvTranspose2d(k4,s2,p1) predictors, align_corners=False x2 upsample).
+    Reference behavior: annotator/densepose/__init__.py:23-42 runs the
+    published R_101_FPN_DL checkpoint through exactly this head."""
+    from ctrlora_tpu.annotators.densepose import (
+        convert_densepose, deeplab_head_forward,
+    )
+
+    sd = _dummy_head_sd()
+    rng = np.random.default_rng(11)
+    # non-trivial GN affines so normalization bugs can't hide
+    for k in list(sd):
+        if k.endswith(".norm.weight") or (".1.weight" in k and sd[k].ndim == 1):
+            sd[k] = rng.uniform(0.5, 1.5, sd[k].shape).astype(np.float32)
+        if k.endswith(".norm.bias") or (".1.bias" in k and sd[k].ndim == 1):
+            sd[k] = rng.normal(0, 0.2, sd[k].shape).astype(np.float32)
+    c = 16  # fpn channel width in the fixture
+    stub = dict(sd)
+    stub["backbone.bottom_up.stem.conv1.weight"] = rng.normal(
+        0, 0.1, (8, 3, 7, 7)
+    ).astype(np.float32)
+    stub["backbone.bottom_up.stem.conv1.bias"] = np.zeros(8, np.float32)
+    for si, nb in enumerate((1, 1, 1, 1)):
+        for bi in range(nb):
+            base = f"backbone.bottom_up.res{si+2}.{bi}"
+            for cn, (co, ci) in (("conv1", (8, 8)), ("conv2", (8, 8)), ("conv3", (8, 8))):
+                stub[f"{base}.{cn}.weight"] = rng.normal(0, 0.1, (co, ci, 1, 1)).astype(np.float32)
+                stub[f"{base}.{cn}.bias"] = np.zeros(co, np.float32)
+    for i in range(2, 6):
+        stub[f"backbone.fpn_lateral{i}.weight"] = rng.normal(0, 0.1, (c, 8, 1, 1)).astype(np.float32)
+        stub[f"backbone.fpn_lateral{i}.bias"] = np.zeros(c, np.float32)
+        stub[f"backbone.fpn_output{i}.weight"] = rng.normal(0, 0.1, (c, c, 3, 3)).astype(np.float32)
+        stub[f"backbone.fpn_output{i}.bias"] = np.zeros(c, np.float32)
+    params = convert_densepose(stub, stages=(1, 1, 1, 1))
+
+    n_stacked = int(params["dp_head"]["n_stacked"])
+    assert n_stacked == 2  # the fixture's stacked-conv count was discovered
+    pooled = rng.normal(0, 1, (2, 28, 28, c)).astype(np.float32)
+    got = deeplab_head_forward(params["dp_head"], jnp.asarray(pooled),
+                               n_stacked=n_stacked)
+    got = {k: np.asarray(v) for k, v in got.items()}
+
+    # ---- independent numpy oracle on the RAW state dict (NCHW) ----
+    hb = "roi_heads.densepose_head."
+    x = pooled.transpose(0, 3, 1, 2).astype(np.float64)
+
+    def relu(v):
+        return np.maximum(v, 0)
+
+    def gn(base, v):
+        return _np_gn32(v, sd[base + ".weight"], sd[base + ".bias"])
+
+    branches = [relu(gn(hb + "ASPP.convs.0.1",
+                        _np_conv2d(x, sd[hb + "ASPP.convs.0.0.weight"])))]
+    for i, d in enumerate((6, 12, 56)):
+        y = _np_conv2d(x, sd[hb + f"ASPP.convs.{i+1}.0.weight"], pad=d, dil=d)
+        branches.append(relu(gn(hb + f"ASPP.convs.{i+1}.1", y)))
+    pool = x.mean(axis=(2, 3), keepdims=True)
+    pool = relu(_np_conv2d(pool, sd[hb + "ASPP.convs.4.1.weight"],
+                           sd.get(hb + "ASPP.convs.4.1.bias")))
+    branches.append(np.broadcast_to(
+        pool, (pool.shape[0], pool.shape[1], x.shape[2], x.shape[3])
+    ))
+    y = np.concatenate(branches, axis=1)
+    y = relu(gn(hb + "ASPP.project.1",
+                _np_conv2d(y, sd[hb + "ASPP.project.0.weight"])))
+    for i in range(n_stacked):
+        y = relu(_np_conv2d(y, sd[hb + f"body_conv_fcn{i+1}.weight"],
+                            sd[hb + f"body_conv_fcn{i+1}.bias"], pad=1))
+    pb = "roi_heads.densepose_predictor."
+    for name, key in (("ann_index_lowres", "coarse_segm"),
+                      ("index_uv_lowres", "fine_segm"),
+                      ("u_lowres", "u"), ("v_lowres", "v")):
+        o = _np_convtranspose(y, sd[pb + name + ".weight"], sd[pb + name + ".bias"])
+        o = _np_bilinear2x(o).transpose(0, 2, 3, 1)  # -> NHWC like the port
+        np.testing.assert_allclose(
+            got[key], o, atol=2e-3, rtol=1e-3,
+            err_msg=f"chart head output {key} diverges from the numpy oracle",
+        )
