@@ -36,11 +36,16 @@ def make_guided_eps_fn(
     use_cfg = uncond_context is not None and guidance_scale != 1.0
 
     if use_cfg:
+        import dataclasses
+
         full_context = jnp.concatenate([context, uncond_context], axis=0)
+        # replace() keeps every other field — notably control_params, the
+        # fused-LoRA override (a positional rebuild silently dropped it in
+        # ddim.py once; same hazard here)
         full_conds = (
             [
-                Conditioning(
-                    jnp.concatenate([c.hint, c.hint], axis=0), c.lora_idx, c.weight
+                dataclasses.replace(
+                    c, hint=jnp.concatenate([c.hint, c.hint], axis=0)
                 )
                 for c in conds
             ]

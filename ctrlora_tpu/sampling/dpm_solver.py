@@ -1,15 +1,28 @@
-"""DPM-Solver++(2M) sampler as one lax.scan.
+"""DPM-Solver / DPM-Solver++ multistep samplers as one lax.scan.
 
 Reference: ldm/models/diffusion/dpm_solver/ (vendored dpm_solver_pytorch.py,
 Lu et al. 2022) — a host-side multistep loop with model wrappers and
 interpolated noise schedules. TPU-first rework: the discrete schedule tables
-are gathered per scan step, the multistep history (previous x0 prediction +
-previous step size h) lives in the scan carry, and order selection is a
-`lax.cond` on the step counter — one jit, no host round trips.
+are gathered per scan step, the multistep history (previous two data/noise
+predictions + previous two step sizes) lives in the scan carry, and order
+selection is a per-step select on trace-time order codes — one jit, no host
+round trips.
 
-Implements the data-prediction (++) multistep 2nd-order variant with
-time-uniform steps and lower-order-final, the configuration the reference's
-`DPMSolverSampler` maps to ("dpmsolver++", method="multistep", order=2).
+Grid covered (the reference's `DPMSolverSampler` maps to algorithm
+"dpmsolver++", method multistep, order 2, no thresholding):
+  * order 1 / 2 / 3 multistep with warm-up (order ramps 1->order) and
+    lower-order-final (last `order-1` steps step down, matching the
+    reference's multistep loop when lower_order_final is set);
+  * algorithm "dpmsolver++" (data prediction) and "dpmsolver" (noise
+    prediction);
+  * dynamic thresholding for the ++ variant (dynamic_thresholding_ratio
+    0.995, thresholding_max_val; reference dpm_solver_pytorch.py
+    `dynamic_thresholding_fn`);
+  * time-uniform skip (the sampler wrapper's only mode for discrete
+    schedules).
+Singlestep method and logSNR/quadratic skips are not ported: no reference
+surface reaches them (sampler wrapper hardcodes multistep/time_uniform).
+
 Supports eps- and v-parameterization and classifier-free guidance.
 """
 
@@ -26,6 +39,17 @@ from ctrlora_tpu.sampling.common import make_guided_eps_fn
 from ctrlora_tpu.sampling.ddim import DDIMConfig
 
 
+def _dynamic_threshold(x0: jnp.ndarray, ratio: float, max_val: float) -> jnp.ndarray:
+    """Imagen-style dynamic thresholding (reference
+    dpm_solver_pytorch.py::dynamic_thresholding_fn): per-sample |x0|
+    quantile, floored at max_val, then clamp-and-rescale into [-max_val*?]
+    — the reference divides by s, landing values in [-1, 1]."""
+    b = x0.shape[0]
+    s = jnp.quantile(jnp.abs(x0).reshape(b, -1), ratio, axis=1)
+    s = jnp.maximum(s, max_val).reshape(b, *([1] * (x0.ndim - 1)))
+    return jnp.clip(x0, -s, s) / s
+
+
 def dpm_solver_sample(
     pipe: CtrLoraPipeline,
     params: Params,
@@ -38,8 +62,17 @@ def dpm_solver_sample(
     control_scales: Optional[jnp.ndarray] = None,
     x_T: Optional[jnp.ndarray] = None,
     ip_context: Optional[jnp.ndarray] = None,
+    order: int = 2,
+    algorithm: str = "dpmsolver++",
+    thresholding: bool = False,
+    dynamic_thresholding_ratio: float = 0.995,
+    thresholding_max_val: float = 1.0,
+    lower_order_final: bool = True,
 ) -> jnp.ndarray:
     """Returns final latents [B, h, w, c]."""
+    assert order in (1, 2, 3), order
+    assert algorithm in ("dpmsolver++", "dpmsolver"), algorithm
+    data_pred = algorithm == "dpmsolver++"
     sched = pipe.schedule
     T = len(sched.alphas_cumprod)
     N = cfg.steps
@@ -72,37 +105,71 @@ def dpm_solver_sample(
     s_nxt = jnp.asarray(sigma[1:], jnp.float32)
     a_nxt = jnp.asarray(alpha[1:], jnp.float32)
     h_seq = jnp.asarray(lam[1:] - lam[:-1], jnp.float32)  # > 0
-    # lower_order_final: the last step is always 1st order (reference
-    # dpm_solver_pytorch.py multistep loop)
-    first_order = jnp.arange(n_steps) == 0
-    last = jnp.arange(n_steps) == n_steps - 1
+
+    # per-step effective order: warm-up ramp 1..order, then `order`, then
+    # (lower_order_final) step down to 1 on the final steps — mirrors the
+    # reference's multistep loop bookkeeping
+    ords = np.minimum(np.arange(n_steps) + 1, order)
+    if lower_order_final:
+        ords = np.minimum(ords, n_steps - np.arange(n_steps))
+    ord_seq = jnp.asarray(ords, jnp.int32)
 
     v_param = pipe.cfg.diffusion.parameterization == "v"
 
     def step(carry, inputs):
-        x, prev_x0, prev_h = carry
-        t_idx, a_t, s_t, a_n, s_n, h, lo1, lo2 = inputs
+        x, m1, m2, h1, h2 = carry  # m1/m2: previous 1/2 model predictions
+        t_idx, a_t, s_t, a_n, s_n, h, ordi = inputs
 
         out = eps_fn(x, t_idx)
-        if v_param:
+        if v_param:  # convert v-output to (eps, x0)
             x0 = a_t * x - s_t * out
+            eps = s_t * x + a_t * out
         else:
-            x0 = (x - s_t * out) / a_t
+            eps = out
+            x0 = (x - s_t * eps) / a_t
+        if data_pred:
+            if thresholding:
+                x0 = _dynamic_threshold(
+                    x0, dynamic_thresholding_ratio, thresholding_max_val
+                )
+            m0 = x0
+        else:
+            m0 = eps
 
-        def order1(_):
-            return x0
+        r0 = h1 / h
+        r1 = h2 / h
+        d1_0 = (m0 - m1) / r0
+        d1_1 = (m1 - m2) / r1
+        d1 = d1_0 + (r0 / (r0 + r1)) * (d1_0 - d1_1)
+        d2 = (d1_0 - d1_1) / (r0 + r1)
 
-        def order2(_):
-            r = prev_h / h
-            return (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * prev_x0
+        if data_pred:
+            # x_t = (s_n/s_t) x - a_n phi_1 m0 [+ a_n phi_2 D1 - a_n phi_3 D2]
+            phi_1 = jnp.expm1(-h)
+            phi_2 = phi_1 / h + 1.0
+            phi_3 = phi_2 / h - 0.5
+            base = (s_n / s_t) * x - a_n * phi_1 * m0
+            upd1 = base
+            upd2 = base - 0.5 * a_n * phi_1 * d1_0
+            upd3 = base + a_n * phi_2 * d1 - a_n * phi_3 * d2
+        else:
+            # noise prediction: x_t = (a_n/a_t) x - s_n phi_1 m0 [- ...]
+            phi_1 = jnp.expm1(h)
+            phi_2 = phi_1 / h - 1.0
+            phi_3 = phi_2 / h - 0.5
+            base = (a_n / a_t) * x - s_n * phi_1 * m0
+            upd1 = base
+            upd2 = base - 0.5 * s_n * phi_1 * d1_0
+            upd3 = base - s_n * phi_2 * d1 - s_n * phi_3 * d2
 
-        D = jax.lax.cond(jnp.logical_or(lo1, lo2), order1, order2, None)
-        x_next = (s_n / s_t) * x - a_n * (jnp.exp(-h) - 1.0) * D
-        return (x_next, x0, h), None
+        x_next = jnp.where(
+            ordi == 1, upd1, jnp.where(ordi == 2, upd2, upd3)
+        )
+        return (x_next, m0, m1, h, h1), None
 
-    (x, _, _), _ = jax.lax.scan(
+    (x, _, _, _, _), _ = jax.lax.scan(
         step,
-        (x, jnp.zeros_like(x), jnp.float32(1.0)),
-        (ts_eval, a_cur, s_cur, a_nxt, s_nxt, h_seq, first_order, last),
+        (x, jnp.zeros_like(x), jnp.zeros_like(x), jnp.float32(1.0), jnp.float32(1.0)),
+        (ts_eval, a_cur, s_cur, a_nxt, s_nxt, h_seq, ord_seq),
     )
     return x

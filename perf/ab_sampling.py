@@ -55,15 +55,18 @@ def main():
     size, steps, batch = 512, args.steps, args.batch
     lat = size // 8
 
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
+    # init + fuse + cast in ONE jitted program executed on the device: a
+    # host-side init means a ~1.4GB upload through the tunnel (~25 min at
+    # observed upload bandwidth); on-device it's one compile + seconds
+    def _make():
         params = pipe.init(jax.random.PRNGKey(0), image_size=8)
         fused = fuse_control_tree(params.control, 0, cfg.control.lora)
-        params = cast_params_for_inference(params)
-        fused = cast_params_for_inference(fused)
-    dev = jax.devices()[0]
-    params = jax.device_put(params, dev)
-    fused = jax.device_put(fused, dev)
+        return cast_params_for_inference(params), cast_params_for_inference(fused)
+
+    t0 = time.perf_counter()
+    params, fused = jax.jit(_make)()
+    jax.block_until_ready(params)
+    print(f"on-device init in {time.perf_counter()-t0:.0f}s", flush=True)
 
     hint = jnp.ones((batch, size, size, 3), jnp.float32) * 0.5
     ids = jnp.ones((batch, cfg.clip.max_length), jnp.int32)
@@ -139,6 +142,23 @@ def main():
             "all": [round(float(t), 3) for t in ts],
         }
     print(json.dumps(out, indent=1))
+
+    # machine-checkable A/B ledger: every same-session comparison lands here
+    ledger_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ledger.json")
+    try:
+        ledger = json.load(open(ledger_path)) if os.path.exists(ledger_path) else []
+    except Exception:
+        ledger = []
+    import datetime
+
+    ledger.append({
+        "when": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"),
+        "workload": f"512x512 ddim{args.steps} b{args.batch} sampling",
+        "interleaved": True,
+        "results": out,
+    })
+    json.dump(ledger, open(ledger_path, "w"), indent=1)
+    print(f"ledger updated: {ledger_path}")
 
 
 if __name__ == "__main__":

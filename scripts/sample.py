@@ -37,6 +37,11 @@ def main():
     p.add_argument("--ddim_steps", type=int, default=50)
     p.add_argument("--sampler", type=str, default="ddim",
                    choices=["ddim", "plms", "dpm_solver"])
+    p.add_argument("--dpm_order", type=int, default=2, choices=[1, 2, 3])
+    p.add_argument("--dpm_algorithm", type=str, default="dpmsolver++",
+                   choices=["dpmsolver++", "dpmsolver"])
+    p.add_argument("--dpm_thresholding", action="store_true",
+                   help="dynamic thresholding (dpmsolver++ only)")
     p.add_argument("--scale", type=float, default=7.5)
     p.add_argument("--strength", type=float, default=1.0)
     p.add_argument("--eta", type=float, default=0.0)
@@ -125,8 +130,17 @@ def main():
                 ctx = pipe.encode_text_tokens(params, ids)
                 unc = pipe.encode_text_tokens(params, nids)
                 hz = pipe.encode_first_stage(params, hint)
-                sampler_fn = {"ddim": ddim_sample, "plms": plms_sample,
-                              "dpm_solver": dpm_solver_sample}[args.sampler]
+                import functools
+
+                sampler_fn = {
+                    "ddim": ddim_sample,
+                    "plms": plms_sample,
+                    "dpm_solver": functools.partial(
+                        dpm_solver_sample, order=args.dpm_order,
+                        algorithm=args.dpm_algorithm,
+                        thresholding=args.dpm_thresholding,
+                    ),
+                }[args.sampler]
                 z = sampler_fn(
                     pipe, params, rng, ctx, unc,
                     [Conditioning(hz, lora_idx=jnp.int32(0))],

@@ -154,3 +154,75 @@ def test_ddim_encode_model_roundtrip_and_cfg():
                         conds=conds, steps=steps, guidance_scale=3.0)
     assert np.isfinite(np.asarray(x_cfg)).all()
     assert np.abs(np.asarray(x_cfg) - np.asarray(x_enc)).max() > 1e-6
+
+
+def test_dpm_solver_grid_zero_eps_closed_form():
+    """All (order, algorithm) cells must follow x proportional-to alpha
+    exactly when eps=0 (the probability-flow solution telescopes through
+    every multistep update since all divided differences vanish)."""
+    pipe, params = _tiny_pipe()
+    pipe.apply_model = lambda p, x, t, *a, **kw: jnp.zeros_like(x)
+    ctx, conds, shape = _common_args(pipe, params)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), shape)
+    steps = 20
+
+    T = len(pipe.schedule.alphas_cumprod)
+    nodes = np.unique(np.round(np.linspace(T - 1, 0, steps + 1)).astype(int))[::-1]
+    ac = np.asarray(pipe.schedule.alphas_cumprod)[nodes]
+    factor = float(np.sqrt(ac[-1] / ac[0]))
+    for order in (1, 2, 3):
+        for algo in ("dpmsolver++", "dpmsolver"):
+            z = dpm_solver_sample(
+                pipe, params, jax.random.PRNGKey(2), ctx, None, conds, shape,
+                DDIMConfig(steps=steps), x_T=x_T, order=order, algorithm=algo,
+            )
+            np.testing.assert_allclose(
+                np.asarray(z), np.asarray(x_T) * factor, rtol=1e-3, atol=1e-4,
+                err_msg=f"order={order} algo={algo}",
+            )
+
+
+def test_dpm_solver_order3_converges():
+    pipe, params = _tiny_pipe()
+    ctx, conds, shape = _common_args(pipe, params)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), shape)
+
+    truth = np.asarray(
+        ddim_sample(pipe, params, jax.random.PRNGKey(2), ctx, None, conds,
+                    shape, DDIMConfig(steps=200), x_T=x_T)
+    )
+
+    def err(order, steps=20):
+        z = dpm_solver_sample(
+            pipe, params, jax.random.PRNGKey(2), ctx, None, conds, shape,
+            DDIMConfig(steps=steps), x_T=x_T, order=order,
+        )
+        return np.abs(np.asarray(z) - truth).max()
+
+    e1, e2, e3 = err(1), err(2), err(3)
+    assert np.isfinite([e1, e2, e3]).all()
+    # higher order helps at 20 steps on this model
+    assert e2 < e1, (e1, e2)
+    assert e3 < e1 * 0.9, (e1, e3)
+
+
+def test_dpm_solver_dynamic_thresholding_bounds_x0():
+    """With thresholding on, the data prediction is clamped into [-1, 1]:
+    force a huge model output and require the trajectory to stay bounded
+    while the unthresholded one blows past it."""
+    pipe, params = _tiny_pipe()
+    big = 50.0
+    pipe.apply_model = lambda p, x, t, *a, **kw: jnp.full_like(x, -big)
+    ctx, conds, shape = _common_args(pipe, params)
+    x_T = jnp.zeros(shape)
+    steps = 8
+    z_thr = dpm_solver_sample(
+        pipe, params, jax.random.PRNGKey(2), ctx, None, conds, shape,
+        DDIMConfig(steps=steps), x_T=x_T, thresholding=True,
+    )
+    z_raw = dpm_solver_sample(
+        pipe, params, jax.random.PRNGKey(2), ctx, None, conds, shape,
+        DDIMConfig(steps=steps), x_T=x_T,
+    )
+    assert float(jnp.abs(z_thr).max()) <= 1.5
+    assert float(jnp.abs(z_raw).max()) > 5.0
