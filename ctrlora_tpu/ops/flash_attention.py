@@ -118,30 +118,47 @@ def _use_bf16_operands() -> bool:
     return bool(os.environ.get("CTRLORA_FLASH_BF16"))
 
 
+def _single_sweep_vmem(block_q: int, sk: int, d: int, itemsize: int,
+                       bf16_ops: bool) -> int:
+    """Itemized resident-VMEM estimate for the single-k-sweep kernel:
+    [block_q, sk] fp32 logits, the K/V input refs at their true itemsize,
+    the in-kernel fp32 K/V copies the non-bf16_ops path makes, and the
+    q/acc/out blocks. The lane dim pads to 128."""
+    dpad = max(d, 128)
+    est = 4 * block_q * sk  # logits block (fp32)
+    est += 2 * itemsize * sk * dpad  # K/V refs
+    if not bf16_ops and itemsize < 4:
+        est += 2 * 4 * sk * dpad  # fp32 copies of K and V inside the kernel
+    est += (itemsize + 4 + 4 + itemsize) * block_q * dpad  # q ref/scaled/acc/out
+    return est
+
+
+# Threshold calibrated on-chip (perf/ledger.json 2026-08-17): the dominant
+# SD shape [8,8,4096,40] single-sweeps at ~14.8MB estimated (bf16 inputs,
+# fp32 ops) and measures 9% faster than 512-chunking; the VAE's d=512
+# single-head case estimates far above and must chunk (it compiled DEGRADED
+# inside big graphs when taken, 163ms vs 14ms decode).
+_SINGLE_SWEEP_LIMIT = int(15.5 * (1 << 20))
+
+
 def _flash_forward(q, k, v, scale):
     b, h, sq, d = q.shape
     sk = k.shape[2]
     block_q = _pick_block(sq, env="CTRLORA_FLASH_BQ")
-    # single k-sweep when the kernel's VMEM stack fits: [block_q, sk] fp32
-    # logits + full bf16 K/V (lane-padded) + q/acc. No online-softmax
-    # rescale, one big MXU dot — measured -19% at SD's dominant
-    # [8,8,4096,40] shape vs 512/512 chunking. The d term matters: the
-    # VAE's single-head d=512 attention blew the 16MB scoped limit when
-    # only block_q*sk was budgeted.
     import os as _os
 
-    dpad = max(d, 128)
-    vmem_est = 4 * (block_q or 0) * sk + 2 * 2 * sk * dpad + 8 * (block_q or 0) * dpad
+    bf16_ops = _use_bf16_operands() and q.dtype == jnp.bfloat16
     if _os.environ.get("CTRLORA_FLASH_BK"):
         block_k = _pick_block(sk, env="CTRLORA_FLASH_BK")
-    elif block_q is not None and vmem_est <= 13 * (1 << 20):
+    elif block_q is not None and _single_sweep_vmem(
+        block_q, sk, d, q.dtype.itemsize, bf16_ops
+    ) <= _SINGLE_SWEEP_LIMIT:
         block_k = sk
     else:
         block_k = _pick_block(sk)
     assert block_q is not None and block_k is not None
     g = b * h
     qf, kf, vf = (t.reshape(g, t.shape[2], d) for t in (q, k, v))
-    bf16_ops = _use_bf16_operands() and q.dtype == jnp.bfloat16
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, block_k=block_k, sk=sk,
                           bf16_ops=bf16_ops),

@@ -57,3 +57,25 @@ def test_backward_bf16_stable():
 
     g = jax.grad(lambda q: jnp.sum(flash_attention(q, k, v).astype(jnp.float32)))(q)
     assert np.isfinite(np.asarray(g, np.float32)).all()
+
+
+def test_single_sweep_vmem_budget_decisions():
+    """The itemized estimate must keep the on-chip-validated single sweep at
+    SD's dominant shape (bf16 in, fp32 ops: 9% faster than chunking,
+    perf/ledger.json) and must reject the VAE's d=512 single-head case,
+    which compiled DEGRADED inside big graphs when taken."""
+    from ctrlora_tpu.ops.flash_attention import (
+        _SINGLE_SWEEP_LIMIT, _single_sweep_vmem,
+    )
+
+    # SD 64x64 self-attention: [*, *, 4096, 40], bf16 inputs
+    assert _single_sweep_vmem(512, 4096, 40, 2, False) <= _SINGLE_SWEEP_LIMIT
+    assert _single_sweep_vmem(512, 4096, 40, 2, True) <= _SINGLE_SWEEP_LIMIT
+    # fp32 inputs at the same shape: bigger refs but no in-kernel copies;
+    # still fits
+    assert _single_sweep_vmem(512, 4096, 40, 4, False) <= _SINGLE_SWEEP_LIMIT
+    # the VAE bottleneck attention (single head, d=512) must never sweep
+    assert _single_sweep_vmem(512, 4096, 512, 2, False) > _SINGLE_SWEEP_LIMIT
+    assert _single_sweep_vmem(512, 4096, 512, 4, False) > _SINGLE_SWEEP_LIMIT
+    # the 32x32 level [*, *, 1024, 80] easily sweeps in every dtype
+    assert _single_sweep_vmem(512, 1024, 80, 4, False) <= _SINGLE_SWEEP_LIMIT
