@@ -90,7 +90,11 @@ class CLIPTextModel(nn.Module):
         causal = jnp.triu(jnp.full((s, s), -jnp.inf, jnp.float32), k=1)[None, None]
 
         hidden = None
-        for i in range(cfg.num_layers):
+        # 'penultimate' (FrozenOpenCLIPEmbedder, ldm/modules/encoders/
+        # modules.py:157-159,181-186): stop one block early, then ln_final —
+        # unlike 'hidden', which returns the raw intermediate state
+        n_run = cfg.num_layers - (1 if cfg.layer == "penultimate" else 0)
+        for i in range(n_run):
             if cfg.layer == "hidden" and cfg.layer_idx is not None and i == (
                 cfg.num_layers + cfg.layer_idx if cfg.layer_idx < 0 else cfg.layer_idx
             ):
@@ -98,7 +102,7 @@ class CLIPTextModel(nn.Module):
             x = CLIPLayer(cfg, name=f"layer_{i}")(x, causal)
 
         final = LayerNorm32(name="final_layer_norm")(x).astype(jnp.float32)
-        if cfg.layer == "last":
+        if cfg.layer in ("last", "penultimate"):
             return final
         if cfg.layer == "hidden":
             assert hidden is not None, "layer='hidden' requires layer_idx"
