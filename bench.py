@@ -103,22 +103,16 @@ def _traced_flops(fn, *args) -> float | None:
             os.environ["CTRLORA_NO_FLASH"] = old
 
 
-def _init_on_host(make_fn):
-    """Run param init/surgery on the host CPU backend, then transfer once.
+def _init_on_device(make_fn):
+    """Run param init/surgery as ONE jitted on-device program.
 
     Eager init on a remote-execution backend (axon tunnel) issues thousands
-    of tiny device ops — ~13 min of wall for SD1.5-sized trees. On-host init
-    plus a single device_put is seconds."""
-    try:
-        cpu = jax.devices("cpu")[0]
-    except Exception:
-        return make_fn()
-    default = jax.devices()[0]
-    if default == cpu:
-        return make_fn()
-    with jax.default_device(cpu):
-        out = make_fn()
-    return jax.device_put(out, default)
+    of tiny device ops (~13 min for SD1.5-sized trees); host-CPU init needs
+    a ~1.4GB upload afterwards (~25 min at observed tunnel upload
+    bandwidth). A single compiled program runs the whole init on-chip."""
+    out = jax.jit(make_fn)()
+    jax.block_until_ready(out)
+    return out
 
 
 class _MaybeProfile:
@@ -169,7 +163,7 @@ def bench_sampling(args) -> dict:
                 fused = cast_params_for_inference(fused)
         return params, fused
 
-    params, fused = _init_on_host(_make)
+    params, fused = _init_on_device(_make)
 
     hint = jnp.ones((batch, size, size, 3), jnp.float32) * 0.5
     ids = jnp.ones((batch, cfg.clip.max_length), jnp.int32)
@@ -297,7 +291,7 @@ def bench_train(args) -> dict:
         params = pipe.init(jax.random.PRNGKey(0), image_size=8)
         return create_train_state(params, tcfg)[0]
 
-    state = _init_on_host(_make)
+    state = _init_on_device(_make)
     # tx is a pure function pair; rebuild it from the (host-made) params'
     # structure without touching device memory
     from ctrlora_tpu.training.train_state import make_optimizer, trainable_mask

@@ -72,19 +72,25 @@ def main():
     ids = jnp.ones((batch, cfg.clip.max_length), jnp.int32)
     rng = jax.random.PRNGKey(1)
 
-    def make_sample(use_fused: bool, unroll: int):
-        ddim = DDIMConfig(steps=steps, guidance_scale=7.5, scan_unroll=unroll)
+    def make_sample(use_fused: bool, unroll: int, n_steps=None, guidance=7.5,
+                    control=True):
+        ddim = DDIMConfig(steps=n_steps or steps, guidance_scale=guidance,
+                          scan_unroll=unroll)
 
         def sample(params, fused, hint, ids, rng):
             ctx = pipe.encode_text_tokens(params, ids)
             uncond = pipe.encode_text_tokens(params, jnp.zeros_like(ids))
             hint_z = pipe.encode_first_stage(params, hint)
-            if use_fused:
+            if not control:
+                conds = None
+            elif use_fused:
                 conds = [Conditioning(hint_z, control_params=fused)]
             else:
                 conds = [Conditioning(hint_z, lora_idx=jnp.int32(0))]
             z = ddim_sample(
-                pipe, params, rng, ctx, uncond, conds, (batch, lat, lat, 4), ddim
+                pipe, params, rng, ctx,
+                uncond if guidance != 1.0 else None, conds,
+                (batch, lat, lat, 4), ddim,
             )
             img = pipe.decode_first_stage(params, z)
             return jnp.mean(img, axis=(1, 2, 3))  # checksum, not the bitmap
@@ -96,6 +102,13 @@ def main():
         "nofuse": dict(use_fused=False, unroll=1, env=None),
         "unroll2": dict(use_fused=True, unroll=2, env=None),
         "chunk": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_BK", "512")),
+        "bf16flash": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_BF16", "1")),
+        "bq256": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_BQ", "256")),
+        # decomposition probes: per-step slope, CFG cost, CN cost, flash gain
+        "steps10": dict(use_fused=True, unroll=1, env=None, n_steps=10),
+        "nocfg": dict(use_fused=True, unroll=1, env=None, guidance=1.0),
+        "nocontrol": dict(use_fused=True, unroll=1, env=None, control=False),
+        "noflash": dict(use_fused=True, unroll=1, env=("CTRLORA_NO_FLASH", "1")),
     }
     names = [v for v in args.variants.split(",") if v in specs]
 
@@ -106,7 +119,10 @@ def main():
             os.environ[s["env"][0]] = s["env"][1]
         try:
             t0 = time.perf_counter()
-            fn = make_sample(s["use_fused"], s["unroll"])
+            fn = make_sample(
+                s["use_fused"], s["unroll"], s.get("n_steps"),
+                s.get("guidance", 7.5), s.get("control", True),
+            )
             c = jax.jit(fn).lower(params, fused, hint, ids, rng).compile()
             print(f"[{name}] compiled in {time.perf_counter()-t0:.0f}s", flush=True)
         finally:
