@@ -82,3 +82,39 @@ def shard_largest_axis(mesh: Mesh, tree: Any, min_size: int = 2**14) -> Any:
         return jax.device_put(x, replicated(mesh))
 
     return jax.tree_util.tree_map(place, tree)
+
+
+def dp_sample_jit(fn, mesh: Mesh):
+    """Data-parallel inference wrapper: jit `fn(params, *batch_arrays)` with
+    params replicated and every other array argument sharded on axis 0 over
+    the data mesh. Outputs are batch-sharded; XLA partitions the whole DDIM
+    scan per device with zero collectives on the hot path (sampling has no
+    gradient all-reduce — each device denoises its own slice of the batch).
+
+    The reference has no multi-GPU sampling at all (scripts/sample.py runs a
+    single cuda device); this is the TPU-native serving path. PRNG keys count
+    as batch args only if their leading dim equals the global batch; the
+    usual scalar key is passed through replicated (detected by ndim<=1).
+    """
+    repl = replicated(mesh)
+    data = data_sharded(mesh)
+
+    def shard_for(x):
+        if hasattr(x, "ndim") and x.ndim >= 2:
+            return data
+        return repl
+
+    jitted = jax.jit(fn)
+
+    def call(params, *args):
+        with mesh:
+            params = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, repl), params
+            )
+            placed = [
+                jax.device_put(a, shard_for(a)) if hasattr(a, "ndim") else a
+                for a in args
+            ]
+            return jitted(params, *placed)
+
+    return call

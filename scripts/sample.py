@@ -47,6 +47,9 @@ def main():
     p.add_argument("--eta", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--bs", type=int, default=4)
+    p.add_argument("--dp", action="store_true",
+                   help="data-parallel sampling over all devices (batch "
+                        "sharded on a 1-D mesh; --bs must divide evenly)")
     args = p.parse_args()
 
     import jax
@@ -110,23 +113,36 @@ def main():
     control_scales = None
     f = 2 ** (len(cfg.vae.ch_mult) - 1)
 
+    mesh = None
+    if args.dp:
+        from ctrlora_tpu.parallel.mesh import create_mesh, dp_sample_jit
+
+        mesh = create_mesh()
+        ndev = mesh.devices.size
+        assert args.bs % ndev == 0, (
+            f"--bs {args.bs} must be a multiple of the {ndev} devices"
+        )
+        print(f"data-parallel sampling over {ndev} devices", flush=True)
+
     sample_jit = None
     prompts = []
     rng0 = np.random.default_rng(args.seed)
     for start in range(0, n, args.bs):
         idxs = list(range(start, min(start + args.bs, n)))
         items = [ds.get(i, rng0) for i in idxs]
-        hint = jnp.asarray(np.stack([it["hint"] for it in items]))
-        ids = jnp.asarray(tok([it["txt"] for it in items]))
-        nids = jnp.asarray(tok([""] * len(items)))
+        # pad the short final batch to a full one: keeps a single compiled
+        # shape and keeps the batch divisible across the mesh under --dp
+        padded = items + [items[-1]] * (args.bs - len(items))
+        hint = jnp.asarray(np.stack([it["hint"] for it in padded]))
+        ids = jnp.asarray(tok([it["txt"] for it in padded]))
+        nids = jnp.asarray(tok([""] * len(padded)))
         B, H, W = hint.shape[0], hint.shape[1], hint.shape[2]
 
         if sample_jit is None:
             taps = pipe.n_control_taps
             scales = jnp.full((taps,), args.strength, jnp.float32)
 
-            @jax.jit
-            def sample_jit(params, hint, ids, nids, rng):
+            def sample_fn(params, hint, ids, nids, rng):
                 ctx = pipe.encode_text_tokens(params, ids)
                 unc = pipe.encode_text_tokens(params, nids)
                 hz = pipe.encode_first_stage(params, hint)
@@ -149,6 +165,11 @@ def main():
                 )
                 img = pipe.decode_first_stage(params, z)
                 return jnp.clip(img * 127.5 + 127.5, 0, 255).astype(jnp.uint8)
+
+            sample_jit = (
+                dp_sample_jit(sample_fn, mesh) if mesh is not None
+                else jax.jit(sample_fn)
+            )
 
         out = np.asarray(sample_jit(params, hint, ids, nids, jax.random.PRNGKey(args.seed + start)))
         for j, i in enumerate(idxs):

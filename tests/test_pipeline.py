@@ -361,3 +361,35 @@ def test_image_log_hook_grid(tmp_path):
     # 48px text strip + 3 rows of 32px images; 2 examples of 32px wide
     assert im.shape == (48 + 3 * 32, 2 * 32, 3), im.shape
     assert im.std() > 0  # not a blank canvas
+
+
+@pytest.mark.slow
+def test_dp_sampling_matches_single_device():
+    """dp_sample_jit (batch sharded over the 8-device mesh, params
+    replicated) must produce the same latents as a plain single-device jit —
+    sampling has no collectives, so partitioning cannot change the math."""
+    from ctrlora_tpu.parallel.mesh import create_mesh, dp_sample_jit
+
+    assert jax.device_count() >= 8, "conftest must force 8 cpu devices"
+    mesh = create_mesh(8)
+    pipe, params = make_pipe(n_loras=1)
+    B = 8
+    ids = jnp.ones((B, 16), jnp.int32)
+    nids = jnp.zeros((B, 16), jnp.int32)
+    hint = jax.random.uniform(jax.random.PRNGKey(3), (B, 32, 32, 3))
+
+    def sample_fn(params, hint, ids, nids, rng):
+        ctx = pipe.encode_text_tokens(params, ids)
+        unc = pipe.encode_text_tokens(params, nids)
+        hz = pipe.encode_first_stage(params, hint)
+        return ddim_sample(
+            pipe, params, rng, ctx, unc,
+            [Conditioning(hz, lora_idx=jnp.int32(0))],
+            (B, 16, 16, 4), DDIMConfig(steps=3, guidance_scale=7.5),
+        )
+
+    rng = jax.random.PRNGKey(4)
+    ref = np.asarray(jax.jit(sample_fn)(params, hint, ids, nids, rng))
+    out = np.asarray(dp_sample_jit(sample_fn, mesh)(params, hint, ids, nids, rng))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=5e-4)

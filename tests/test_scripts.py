@@ -74,9 +74,12 @@ def test_train_sample_evaluate_cycle(dataset_dir, tmp_path):
     run([
         "scripts/sample.py", "--config", "tiny", "--dataroot", dataset_dir,
         "--resolution", "32", "--save_dir", out_dir, "--lora_ckpt", ckpt,
-        "--n_samples", "2", "--ddim_steps", "2", "--bs", "2",
+        "--n_samples", "3", "--ddim_steps", "2", "--bs", "2",
     ])
+    # 3 samples at bs=2 exercises the padded short final batch
     assert os.path.isfile(os.path.join(out_dir, "sample", "000000.png"))
+    assert os.path.isfile(os.path.join(out_dir, "sample", "000002.png"))
+    assert not os.path.exists(os.path.join(out_dir, "sample", "000003.png"))
     assert os.path.isfile(os.path.join(out_dir, "prompt.txt"))
 
     # 3. evaluate condition fidelity
