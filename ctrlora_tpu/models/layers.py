@@ -101,7 +101,12 @@ class GroupNorm32(nn.Module):
     silu: bool = False
 
     @nn.compact
-    def __call__(self, x, bank_idx: Optional[jnp.ndarray] = None):
+    def __call__(self, x, bank_idx: Optional[jnp.ndarray] = None,
+                 add_row: Optional[jnp.ndarray] = None):
+        """add_row [C]/[1,C]/[B,C]: normalize (x + add_row) without
+        materializing the sum — the row folds into the stats epilogue
+        (ops/group_norm.py). Inside the DDIM scan a loop-varying broadcast
+        add costs a full extra HBM pass per block; this makes it free."""
         orig_dtype = x.dtype
         c = x.shape[-1]
         shape = (self.n_banks, c) if self.n_banks > 0 else (c,)
@@ -117,7 +122,13 @@ class GroupNorm32(nn.Module):
             from ctrlora_tpu.ops.group_norm import group_norm, group_norm_ok
 
             if group_norm_ok(x, g):
-                return group_norm(x, scale, bias, g, self.eps, self.silu)
+                return group_norm(x, scale, bias, add_row, g, self.eps,
+                                  self.silu)
+        if add_row is not None:
+            row = add_row.astype(jnp.float32).reshape(-1, c)
+            x = x.astype(jnp.float32) + row.reshape(
+                row.shape[0], *([1] * (x.ndim - 2)), c
+            )
         x = x.astype(jnp.float32)
         spatial = x.shape[1:-1]
         xg = x.reshape(x.shape[0], -1, g, c // g)
@@ -253,14 +264,23 @@ class ResBlock(nn.Module):
     lora: Optional[LoRAConfig] = None
 
     @nn.compact
-    def __call__(self, x, emb, lora_idx: Optional[jnp.ndarray] = None):
+    def __call__(self, x, emb, lora_idx: Optional[jnp.ndarray] = None,
+                 emb_row: Optional[jnp.ndarray] = None):
+        """emb_row [1, C]: precomputed emb_proj output for this block (the
+        timestep is uniform across the batch in samplers, so one row serves
+        the whole batch; pipeline.emb_proj_tables). The row is folded into
+        out_norm's stats epilogue rather than added to h: a loop-varying
+        broadcast add inside the DDIM scan costs a separate full-tensor HBM
+        pass per block, ~22.6 ms/step over the ~35 blocks
+        (perf/step_glue2.py bisect). When given, `emb` is unused and may be
+        None."""
         h = GroupNorm32(name="in_norm", silu=True)(x)
         h = Conv(self.out_channels, dtype=self.dtype, name="in_conv")(h)
-        emb_out = Dense(self.out_channels, dtype=self.dtype, lora=self.lora, name="emb_proj")(
-            nn.silu(emb), lora_idx
-        )
-        h = h + emb_out[:, None, None, :].astype(h.dtype)
-        h = GroupNorm32(name="out_norm", silu=True)(h)
+        if emb_row is None:
+            emb_row = Dense(
+                self.out_channels, dtype=self.dtype, lora=self.lora, name="emb_proj"
+            )(nn.silu(emb), lora_idx)
+        h = GroupNorm32(name="out_norm", silu=True)(h, add_row=emb_row)
         h = Conv(
             self.out_channels, dtype=self.dtype, name="out_conv",
             kernel_init=nn.initializers.zeros,

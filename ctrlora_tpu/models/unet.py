@@ -119,13 +119,22 @@ class UNet(nn.Module):
         control: Optional[Sequence[jnp.ndarray]] = None,
         only_mid_control: bool = False,
         control_mode: str = "decoder",
+        emb_rows: Optional[dict] = None,
     ) -> jnp.ndarray:
         """control_mode='decoder': residuals add onto skip connections and
         middle (standard ControlNet, cldm/cldm.py:22-45). 'encoder': residuals
-        add onto encoder outputs (ControlNet-Lite, cldm/cldm_lite.py:20-42)."""
+        add onto encoder outputs (ControlNet-Lite, cldm/cldm_lite.py:20-42).
+
+        emb_rows: {res_block_name: [C]} precomputed emb_proj outputs for a
+        batch-uniform timestep (CtrLoraPipeline.emb_proj_tables). Skips the
+        in-graph TimestepEmbed + per-block projections entirely."""
         cfg = self.cfg
         dt = cfg.compute_dtype
-        emb = TimestepEmbed(cfg.model_channels, dtype=dt, name="time_embed")(timesteps)
+        if emb_rows is None:
+            emb = TimestepEmbed(cfg.model_channels, dtype=dt, name="time_embed")(timesteps)
+        else:
+            emb = None
+        row = lambda name: None if emb_rows is None else emb_rows[name]
         context = context.astype(dt)
         enc_side = control is not None and control_mode == "encoder"
 
@@ -135,7 +144,7 @@ class UNet(nn.Module):
             if step.kind == "conv":
                 h = Conv(step.out_ch, dtype=dt, name="in_conv")(h)
             elif step.kind == "res":
-                h = _res(cfg, step.out_ch, None, f"in_{i}_res")(h, emb, None)
+                h = _res(cfg, step.out_ch, None, f"in_{i}_res")(h, emb, None, row(f"in_{i}_res"))
                 if step.attn:
                     h = _attn(cfg, step.out_ch, None, f"in_{i}_attn")(h, context, None)
             else:
@@ -145,9 +154,9 @@ class UNet(nn.Module):
             hs.append(h)
 
         ch = hs[-1].shape[-1]
-        h = _res(cfg, ch, None, "mid_res0")(h, emb, None)
+        h = _res(cfg, ch, None, "mid_res0")(h, emb, None, row("mid_res0"))
         h = _attn(cfg, ch, None, "mid_attn")(h, context, None)
-        h = _res(cfg, ch, None, "mid_res1")(h, emb, None)
+        h = _res(cfg, ch, None, "mid_res1")(h, emb, None, row("mid_res1"))
 
         n_enc = len(hs)
         if control is not None:
@@ -161,7 +170,7 @@ class UNet(nn.Module):
             if control is not None and not only_mid_control and not enc_side:
                 skip = skip + control[n_enc - 1 - i].astype(dt)
             h = jnp.concatenate([h, skip], axis=-1)
-            h = _res(cfg, step.out_ch, None, f"out_{i}_res")(h, emb, None)
+            h = _res(cfg, step.out_ch, None, f"out_{i}_res")(h, emb, None, row(f"out_{i}_res"))
             if step.attn:
                 h = _attn(cfg, step.out_ch, None, f"out_{i}_attn")(h, context, None)
             if step.upsample:
@@ -215,6 +224,7 @@ class ControlNet(nn.Module):
         hint: Optional[jnp.ndarray] = None,  # pixel hint, 'image' mode only
         lora_idx: Optional[jnp.ndarray] = None,
         lora_scale: float = 1.0,
+        emb_rows: Optional[dict] = None,
     ) -> Tuple[jnp.ndarray, ...]:
         cfg = self.cfg
         ucfg = cfg.unet
@@ -222,9 +232,13 @@ class ControlNet(nn.Module):
         lora = cfg.lora if cfg.lora.n_loras > 0 else None
         banks = cfg.lora.n_loras if cfg.lora.switchable_banks else 0
 
-        emb = TimestepEmbed(ucfg.model_channels, dtype=dt, lora=lora, name="time_embed")(
-            timesteps, lora_idx
-        )
+        if emb_rows is None:
+            emb = TimestepEmbed(ucfg.model_channels, dtype=dt, lora=lora, name="time_embed")(
+                timesteps, lora_idx
+            )
+        else:
+            emb = None
+        row = lambda name: None if emb_rows is None else emb_rows[name]
         context = context.astype(dt)
 
         guided = None
@@ -240,7 +254,7 @@ class ControlNet(nn.Module):
                 if guided is not None:
                     h = h + guided
             elif step.kind == "res":
-                h = _res(ucfg, step.out_ch, lora, f"in_{i}_res")(h, emb, lora_idx)
+                h = _res(ucfg, step.out_ch, lora, f"in_{i}_res")(h, emb, lora_idx, row(f"in_{i}_res"))
                 if step.attn:
                     h = _attn(ucfg, step.out_ch, lora, f"in_{i}_attn")(h, context, lora_idx)
             else:
@@ -250,9 +264,9 @@ class ControlNet(nn.Module):
             )
 
         ch = h.shape[-1]
-        h = _res(ucfg, ch, lora, "mid_res0")(h, emb, lora_idx)
+        h = _res(ucfg, ch, lora, "mid_res0")(h, emb, lora_idx, row("mid_res0"))
         h = _attn(ucfg, ch, lora, "mid_attn")(h, context, lora_idx)
-        h = _res(ucfg, ch, lora, "mid_res1")(h, emb, lora_idx)
+        h = _res(ucfg, ch, lora, "mid_res1")(h, emb, lora_idx, row("mid_res1"))
         outs.append(
             ZeroConv(ch, n_banks=banks, dtype=dt, name="zero_mid")(h, lora_idx)
         )

@@ -83,9 +83,21 @@ def fused_group_norm(
     eps: float = 1e-5,
     silu: bool = False,
     interpret: Optional[bool] = None,
+    add_row: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """GroupNorm over NHWC (torch semantics, fp32 stats) with optional fused
-    SiLU. x [B, H, W, C] (or [B, S, C]); scale/bias [C] fp32."""
+    SiLU. x [B, H, W, C] (or [B, S, C]); scale/bias [C] fp32.
+
+    add_row [C] / [1, C] / [B, C]: compute GN(x + row) WITHOUT materializing
+    x + row. A per-channel add with a loop-varying operand costs a separate
+    full-tensor HBM pass per ResBlock inside the DDIM scan (~22.6 ms/step
+    across the ~35 blocks, perf/step_glue2.py bisect — loop-invariant rows
+    fold into the conv and are free, varying ones do not). Folding the row
+    into the [B, C] stats epilogue instead is exact:
+      sum'_c  = sum_c + HW*row_c
+      sumsq'_c = sumsq_c + 2 row_c sum_c + HW row_c^2
+      y = (x + row - mean') inv' s + b = x*a + (b + (row - mean')*a)
+    so both Pallas passes run unchanged on the original x."""
     orig_shape = x.shape
     b, c = x.shape[0], x.shape[-1]
     hw = 1
@@ -112,6 +124,11 @@ def fused_group_norm(
     )(xf)
 
     # tiny epilogue: per-group moments -> per-channel affine
+    row = None
+    if add_row is not None:
+        row = add_row.astype(jnp.float32).reshape(-1, c)[:, None]  # [B|1,1,C]
+        xsq = xsq + 2.0 * row * xsum + hw * row * row
+        xsum = xsum + hw * row
     n = hw * (c // num_groups)
     gsum = xsum.reshape(b, num_groups, c // num_groups).sum(-1)
     gsq = xsq.reshape(b, num_groups, c // num_groups).sum(-1)
@@ -122,6 +139,8 @@ def fused_group_norm(
     inv_c = jnp.repeat(inv, c // num_groups, axis=-1)
     a = inv_c * scale[None].astype(jnp.float32)
     bb = bias[None].astype(jnp.float32) - mean_c * a
+    if row is not None:
+        bb = bb + row[:, 0] * a
 
     out = pl.pallas_call(
         functools.partial(_apply_kernel, silu=silu),
@@ -153,9 +172,14 @@ def group_norm_ok(x: jnp.ndarray, num_groups: int) -> bool:
     return x.ndim >= 3 and c % num_groups == 0 and _pick_hw_block(hw, c) is not None
 
 
-def _plain_group_norm(x, scale, bias, num_groups, eps, silu):
+def _plain_group_norm(x, scale, bias, num_groups, eps, silu, add_row=None):
     """Reference jnp math (fp32), used for the custom-vjp backward."""
     b, c = x.shape[0], x.shape[-1]
+    out_dtype = x.dtype
+    if add_row is not None:
+        row = add_row.astype(jnp.float32).reshape(-1, c)
+        row = row.reshape(row.shape[0], *([1] * (x.ndim - 2)), c)
+        x = x.astype(jnp.float32) + row
     xf = x.astype(jnp.float32).reshape(b, -1, num_groups, c // num_groups)
     mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
     var = jnp.var(xf, axis=(1, 3), keepdims=True)
@@ -163,27 +187,40 @@ def _plain_group_norm(x, scale, bias, num_groups, eps, silu):
     y = xf.reshape(x.shape) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     if silu:
         y = y * jax.nn.sigmoid(y)
-    return y.astype(x.dtype)
+    return y.astype(out_dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def group_norm(x, scale, bias, num_groups: int = 32, eps: float = 1e-5,
-               silu: bool = False):
-    """Differentiable fused GroupNorm(+SiLU): Pallas forward, jnp-math
-    backward (the kernels have no transpose rule; the backward recompute
-    costs the same as the plain implementation's)."""
-    return fused_group_norm(x, scale, bias, num_groups, eps, silu)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def group_norm(x, scale, bias, add_row=None, num_groups: int = 32,
+               eps: float = 1e-5, silu: bool = False):
+    """Differentiable fused GroupNorm(+SiLU) of (x + add_row): Pallas
+    forward, jnp-math backward (the kernels have no transpose rule; the
+    backward recompute costs the same as the plain implementation's)."""
+    return fused_group_norm(x, scale, bias, num_groups, eps, silu,
+                            add_row=add_row)
 
 
-def _gn_fwd(x, scale, bias, num_groups, eps, silu):
-    return fused_group_norm(x, scale, bias, num_groups, eps, silu), (x, scale, bias)
+def _gn_fwd(x, scale, bias, add_row, num_groups, eps, silu):
+    out = fused_group_norm(x, scale, bias, num_groups, eps, silu,
+                           add_row=add_row)
+    return out, (x, scale, bias, add_row)
 
 
 def _gn_bwd(num_groups, eps, silu, res, g):
-    x, scale, bias = res
+    x, scale, bias, add_row = res
+    if add_row is None:
+        _, vjp = jax.vjp(
+            lambda xx, ss, bb: _plain_group_norm(
+                xx, ss, bb, num_groups, eps, silu
+            ),
+            x, scale, bias,
+        )
+        return (*vjp(g), None)
     _, vjp = jax.vjp(
-        lambda xx, ss, bb: _plain_group_norm(xx, ss, bb, num_groups, eps, silu),
-        x, scale, bias,
+        lambda xx, ss, bb, rr: _plain_group_norm(
+            xx, ss, bb, num_groups, eps, silu, rr
+        ),
+        x, scale, bias, add_row,
     )
     return vjp(g)
 

@@ -191,6 +191,75 @@ class CtrLoraPipeline:
     # ------------------------------------------------------------------
     # the denoiser
     # ------------------------------------------------------------------
+    def emb_proj_tables(
+        self,
+        params: Params,
+        timesteps: jnp.ndarray,  # [S] int32, in sampling order
+        conds: Optional[Sequence[Conditioning]] = None,
+    ) -> Optional[dict]:
+        """Precompute every t-dependent projection for a batch of S steps.
+
+        Samplers use a batch-uniform timestep per step, so the TimestepEmbed
+        MLP and all per-ResBlock emb_proj Linears depend only on the step
+        index — but inside a lax.scan XLA cannot hoist them (t is dynamic),
+        and the ~35 latency-bound in-loop kernels cost ~23 ms/step on TPU
+        (perf/step_glue.py bisect: const-t 69.2 vs dyn-t 91.9 ms/step).
+        Computing them here for all S steps at once and gathering one [C]
+        row per step removes that cost.
+
+        Returns {'unet': {block: [S, C]}, 'control': (per-cond dict, ...)},
+        or None when the variant has no hoistable structure (lite/xs).
+        Numerical identity with the in-loop path is by construction: the
+        same Dense/TimestepEmbed modules run on the same param subtrees.
+        """
+        if self.xs_unet is not None or self.control_mode == "encoder":
+            return None
+        from flax import linen as nn
+
+        from ctrlora_tpu.models.layers import Dense, TimestepEmbed
+
+        def branch_tables(tree, model_channels, dtype, lora_cfg, lora_idx):
+            has_lora = "lora_down" in tree["time_embed"]["dense0"]
+            temb = TimestepEmbed(
+                model_channels, dtype=dtype, lora=lora_cfg if has_lora else None
+            ).apply({"params": tree["time_embed"]}, timesteps, lora_idx)
+            x = nn.silu(temb)
+            rows = {}
+            for name, sub in tree.items():
+                if not hasattr(sub, "keys") or "emb_proj" not in sub:
+                    continue
+                p = sub["emb_proj"]
+                lcfg = lora_cfg if "lora_down" in p else None
+                rows[name] = Dense(
+                    p["kernel"].shape[-1], dtype=dtype, lora=lcfg
+                ).apply({"params": p}, x, lora_idx)
+            return rows
+
+        ucfg = self.cfg.unet
+        out = {
+            "unet": branch_tables(
+                params.unet["params"], ucfg.model_channels, ucfg.compute_dtype,
+                None, None,
+            ),
+            "control": (),
+        }
+        if conds:
+            ccfg = self.cfg.control
+            lora = ccfg.lora if ccfg.lora.n_loras > 0 else None
+            ctables = []
+            for cond in conds:
+                cparams = cond.control_params
+                if cparams is None:
+                    cparams = params.control
+                ctables.append(
+                    branch_tables(
+                        cparams["params"], ccfg.unet.model_channels,
+                        ccfg.unet.compute_dtype, lora, cond.lora_idx,
+                    )
+                )
+            out["control"] = tuple(ctables)
+        return out
+
     def apply_control(
         self,
         params: Params,
@@ -199,6 +268,7 @@ class CtrLoraPipeline:
         context: jnp.ndarray,
         conds: Sequence[Conditioning],
         control_scales: Optional[jnp.ndarray] = None,
+        emb_rows: Optional[Sequence[dict]] = None,  # per cond, emb_proj_tables rows
     ) -> Tuple[jnp.ndarray, ...]:
         """Run the control branch for each condition and blend residuals
         (reference: cldm_ctrlora_inference.py:166-176)."""
@@ -207,7 +277,8 @@ class CtrLoraPipeline:
         if control_scales is None:
             control_scales = jnp.ones((n,), jnp.float32)
         total = None
-        for cond in conds:
+        for j, cond in enumerate(conds):
+            rows = emb_rows[j] if emb_rows is not None else None
             cparams = cond.control_params
             control_module = self.control
             if cparams is not None and self.fused_control is not None:
@@ -224,11 +295,12 @@ class CtrLoraPipeline:
             elif self.cfg.control.hint_mode == "image":
                 taps = control_module.apply(
                     cparams, x_noisy, t, context,
-                    hint=cond.hint, lora_idx=cond.lora_idx,
+                    hint=cond.hint, lora_idx=cond.lora_idx, emb_rows=rows,
                 )
             else:
                 taps = control_module.apply(
-                    cparams, cond.hint, t, context, lora_idx=cond.lora_idx
+                    cparams, cond.hint, t, context, lora_idx=cond.lora_idx,
+                    emb_rows=rows,
                 )
             taps = [c * control_scales[i] * cond.weight for i, c in enumerate(taps)]
             if self.cfg.diffusion.global_average_pooling:
@@ -246,6 +318,7 @@ class CtrLoraPipeline:
         control_scales: Optional[jnp.ndarray] = None,
         ip_context: Optional[jnp.ndarray] = None,
         control_batch_mask: Optional[jnp.ndarray] = None,
+        emb_rows: Optional[dict] = None,
     ) -> jnp.ndarray:
         """Predict model output (eps by default) for noisy latents.
 
@@ -255,6 +328,8 @@ class CtrLoraPipeline:
         control_batch_mask [B]: per-example control on/off — guess mode runs
         the uncond half of a CFG batch without control (reference:
         app/gradio_ctrlora.py:308 un_cond c_concat=None).
+        emb_rows: one step's rows from emb_proj_tables (timestep must be
+        batch-uniform and equal the t this table row was built for).
         """
         if self.xs_unet is not None:
             # ControlNet-XS: one fused two-stream forward
@@ -266,7 +341,8 @@ class CtrLoraPipeline:
         control = None
         if conds:
             control = self.apply_control(
-                params, x_noisy, t, context, conds, control_scales
+                params, x_noisy, t, context, conds, control_scales,
+                emb_rows=emb_rows["control"] if emb_rows is not None else None,
             )
             if control_batch_mask is not None:
                 m = control_batch_mask.reshape(-1, 1, 1, 1)
@@ -280,4 +356,5 @@ class CtrLoraPipeline:
             params.unet, x_noisy, t, context,
             control=control, only_mid_control=self.cfg.diffusion.only_mid_control,
             control_mode=self.control_mode,
+            emb_rows=emb_rows["unet"] if emb_rows is not None else None,
         )

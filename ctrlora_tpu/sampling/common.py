@@ -59,7 +59,9 @@ def make_guided_eps_fn(
     else:
         full_context, full_conds, full_ip = context, conds, ip_context
 
-    def eps_fn(x: jnp.ndarray, t_scalar: jnp.ndarray) -> jnp.ndarray:
+    def eps_fn(
+        x: jnp.ndarray, t_scalar: jnp.ndarray, emb_rows: Optional[dict] = None
+    ) -> jnp.ndarray:
         B = x.shape[0]
         tvec = jnp.full((B,), t_scalar, jnp.int32)
         if use_cfg:
@@ -72,12 +74,58 @@ def make_guided_eps_fn(
             out = pipe.apply_model(
                 params, x2, jnp.concatenate([tvec, tvec]), full_context,
                 full_conds, control_scales, ip_context=full_ip,
-                control_batch_mask=cmask,
+                control_batch_mask=cmask, emb_rows=emb_rows,
             )
             return out[B:] + guidance_scale * (out[:B] - out[B:])
         return pipe.apply_model(
             params, x, tvec, full_context, full_conds, control_scales,
-            ip_context=full_ip,
+            ip_context=full_ip, emb_rows=emb_rows,
         )
 
     return eps_fn
+
+
+def make_emb_row_tables(
+    pipe: CtrLoraPipeline,
+    params: Params,
+    conds: Optional[Sequence[Conditioning]],
+    timesteps,  # [S] int32, the exact per-step eval timesteps in order
+):
+    """Hoisted time-embedding tables for a sampler scan.
+
+    Returns (packed, rows_of): `packed` is a [S, n, Cmax] array to thread
+    through scan xs (one slice per step), `rows_of(block)` rebuilds the
+    per-branch emb_rows dict for pipe.apply_model from one step's [n, Cmax]
+    block with a single multi-output Pallas launch (ops/unpack_rows.py).
+    (None, rows_of) when the model variant has no hoistable structure —
+    rows_of(None) is None, so samplers can thread it unconditionally.
+
+    Why: per-step-varying rows produced by per-row slices cost ~22.6
+    ms/step in kernel dispatch on TPU (perf/step_glue2.py bisect); one
+    launch producing all ~70 rows removes that entirely.
+    """
+    tables = pipe.emb_proj_tables(params, jnp.asarray(timesteps), conds)
+    if tables is None:
+        return None, lambda block: None
+    from ctrlora_tpu.ops.unpack_rows import pack_row_tables, unpack_rows
+
+    flat = {f"u.{k}": v for k, v in tables["unet"].items()}
+    for j, d in enumerate(tables["control"]):
+        flat.update({f"c{j}.{k}": v for k, v in d.items()})
+    packed, row_names, row_sizes = pack_row_tables(flat)
+    n_conds = len(tables["control"])
+
+    def rows_of(block):
+        if block is None:
+            return None
+        rows = unpack_rows(block, row_sizes)
+        out = {"unet": {}, "control": tuple({} for _ in range(n_conds))}
+        for name, row in zip(row_names, rows):
+            scope, key = name.split(".", 1)
+            if scope == "u":
+                out["unet"][key] = row
+            else:
+                out["control"][int(scope[1:])][key] = row
+        return out
+
+    return packed, rows_of

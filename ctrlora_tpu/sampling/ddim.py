@@ -43,6 +43,11 @@ class DDIMConfig:
     # halves the while-loop iteration overhead (material on runtimes with
     # high per-dispatch latency). Must divide `steps`.
     scan_unroll: int = 1
+    # precompute all t-dependent projections (TimestepEmbed MLP + per-block
+    # emb_proj Linears) for every step BEFORE the scan and gather one row per
+    # step. XLA cannot hoist them itself (t is loop-dynamic) and in-loop they
+    # cost ~23 ms/step on TPU (perf/step_glue.py). No effect on results.
+    hoist_time_embed: bool = True
 
 
 def ddim_sample(
@@ -121,7 +126,24 @@ def ddim_sample(
     sqrt_1mac = jnp.asarray(sched.sqrt_one_minus_alphas_cumprod)
     v_param = pipe.cfg.diffusion.parameterization == "v"
 
-    def model_out(x, t_scalar):
+    # all t-dependent projections for all steps, computed once up front.
+    # The per-step cost is dominated by KERNEL COUNT, not FLOPs: producing
+    # the ~70 per-block rows with individual slices (scan xs machinery,
+    # static slices of a packed vector, or a one-hot gather) measured
+    # identical to not hoisting at all, while loop-invariant rows ran
+    # 22.6 ms/step faster (perf/step_glue2.py bisect — the consuming adds
+    # are free; the per-row slice kernels are not). So ALL branches' tables
+    # are stacked into ONE padded [S, n, Cmax] array — one scan-xs slice
+    # per step — and split into per-block rows by a single multi-output
+    # Pallas kernel launch (ops/unpack_rows.py).
+    if cfg.hoist_time_embed:
+        from ctrlora_tpu.sampling.common import make_emb_row_tables
+
+        packed_xs, _rows_of = make_emb_row_tables(pipe, params, full_conds, ts_seq)
+    else:
+        packed_xs, _rows_of = None, lambda block: None
+
+    def model_out(x, t_scalar, rows):
         tvec = jnp.full((x.shape[0],), t_scalar, jnp.int32)
         if use_cfg:
             x2 = jnp.concatenate([x, x], axis=0)
@@ -133,12 +155,12 @@ def ddim_sample(
             out = pipe.apply_model(
                 params, x2, jnp.concatenate([tvec, tvec]), full_context,
                 full_conds, control_scales, ip_context=full_ip,
-                control_batch_mask=cmask,
+                control_batch_mask=cmask, emb_rows=rows,
             )
             return out[:B], out[B:]
         out = pipe.apply_model(
             params, x, tvec, full_context, full_conds, control_scales,
-            ip_context=full_ip,
+            ip_context=full_ip, emb_rows=rows,
         )
         return out, None
 
@@ -153,7 +175,8 @@ def ddim_sample(
 
     def step(carry, inputs):
         img, rng = carry
-        t_scalar, a_t, a_prev, s1m_t, sigma_t, scale = inputs
+        (t_scalar, a_t, a_prev, s1m_t, sigma_t, scale), packed = inputs
+        rows = _rows_of(packed)
         if stochastic or mask is not None:
             rng, noise_rng, mask_rng = jax.random.split(rng, 3)
 
@@ -166,7 +189,7 @@ def ddim_sample(
             )
             img = img_orig * mask + (1.0 - mask) * img
 
-        out_c, out_u = model_out(img, t_scalar)
+        out_c, out_u = model_out(img, t_scalar, rows)
         model_output = out_c if out_u is None else out_u + scale * (out_c - out_u)
 
         tvec = jnp.full((B,), t_scalar, jnp.int32)
@@ -186,7 +209,9 @@ def ddim_sample(
         return (img_prev, rng), None
 
     (img, _), _ = jax.lax.scan(
-        step, (img, rng), (ts_seq, a_seq, ap_seq, s1m_seq, sig_seq, ucg_seq),
+        step,
+        (img, rng),
+        ((ts_seq, a_seq, ap_seq, s1m_seq, sig_seq, ucg_seq), packed_xs),
         unroll=cfg.scan_unroll if dd.num_steps % cfg.scan_unroll == 0 else 1,
     )
     return img
@@ -241,21 +266,26 @@ def ddim_encode(
         full_context = context
         full_conds = conds
 
+    from ctrlora_tpu.sampling.common import make_emb_row_tables
+
+    rows_xs, rows_of = make_emb_row_tables(pipe, params, full_conds, ts_seq)
+
     def step(x, inputs):
-        t_scalar, w_x, w_e = inputs
+        (t_scalar, w_x, w_e), blk = inputs
+        rows = rows_of(blk)
         tvec = jnp.full((B,), t_scalar, jnp.int32)
         if use_cfg:
             out = pipe.apply_model(
                 params, jnp.concatenate([x, x]), jnp.concatenate([tvec, tvec]),
-                full_context, full_conds, control_scales,
+                full_context, full_conds, control_scales, emb_rows=rows,
             )
             eps = out[B:] + guidance_scale * (out[:B] - out[B:])
         else:
             eps = pipe.apply_model(params, x, tvec, full_context, full_conds,
-                                   control_scales)
+                                   control_scales, emb_rows=rows)
         return w_x * x + w_e * eps, None
 
-    x, _ = jax.lax.scan(step, x0, (ts_seq, xt_w, eps_w))
+    x, _ = jax.lax.scan(step, x0, ((ts_seq, xt_w, eps_w), rows_xs))
     return x
 
 

@@ -116,11 +116,20 @@ def dpm_solver_sample(
 
     v_param = pipe.cfg.diffusion.parameterization == "v"
 
+    # hoisted time-embedding rows, one eval timestep per step (see
+    # make_emb_row_tables for the dispatch-cost rationale)
+    rows_xs = None
+    rows_of = lambda block: None
+    if cfg.hoist_time_embed:
+        from ctrlora_tpu.sampling.common import make_emb_row_tables
+
+        rows_xs, rows_of = make_emb_row_tables(pipe, params, conds, ts_eval)
+
     def step(carry, inputs):
         x, m1, m2, h1, h2 = carry  # m1/m2: previous 1/2 model predictions
-        t_idx, a_t, s_t, a_n, s_n, h, ordi = inputs
+        (t_idx, a_t, s_t, a_n, s_n, h, ordi), blk = inputs
 
-        out = eps_fn(x, t_idx)
+        out = eps_fn(x, t_idx, rows_of(blk))
         if v_param:  # convert v-output to (eps, x0)
             x0 = a_t * x - s_t * out
             eps = s_t * x + a_t * out
@@ -170,6 +179,6 @@ def dpm_solver_sample(
     (x, _, _, _, _), _ = jax.lax.scan(
         step,
         (x, jnp.zeros_like(x), jnp.zeros_like(x), jnp.float32(1.0), jnp.float32(1.0)),
-        (ts_eval, a_cur, s_cur, a_nxt, s_nxt, h_seq, ord_seq),
+        ((ts_eval, a_cur, s_cur, a_nxt, s_nxt, h_seq, ord_seq), rows_xs),
     )
     return x

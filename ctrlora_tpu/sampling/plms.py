@@ -60,6 +60,20 @@ def plms_sample(
     # t_next for the first step's midpoint correction (plms.py:171):
     # the timestep one rung DOWN the ladder (0 past the end)
     ts_next = np.concatenate([ts[1:], [0]])
+
+    # hoisted time-embedding rows for both eval timesteps per step: one
+    # [S+1] table over ts + trailing 0 serves ts (rows [:-1]) and ts_next
+    # (rows [1:]) — see make_emb_row_tables for why this is on by default
+    rows_xs, rows_next_xs = None, None
+    rows_of = lambda block: None
+    if cfg.hoist_time_embed:
+        from ctrlora_tpu.sampling.common import make_emb_row_tables
+
+        packed, rows_of = make_emb_row_tables(
+            pipe, params, conds, np.concatenate([ts, [0]])
+        )
+        if packed is not None:
+            rows_xs, rows_next_xs = packed[:-1], packed[1:]
     a_seq = jnp.asarray(np.asarray(dd.alphas)[order])
     ap_seq = jnp.asarray(np.asarray(dd.alphas_prev)[order])
     s1m_seq = jnp.asarray(np.asarray(dd.sqrt_one_minus_alphas)[order])
@@ -71,14 +85,15 @@ def plms_sample(
 
     def step(carry, inputs):
         img, eps_buf, count = carry  # eps_buf: [3, B, ...] newest first
-        t_scalar, t_next, a_t, a_prev, s1m_t = inputs
+        (t_scalar, t_next, a_t, a_prev, s1m_t), blocks = inputs
+        blk, blk_next = blocks if blocks is not None else (None, None)
 
-        e_t = eps_fn(img, t_scalar)
+        e_t = eps_fn(img, t_scalar, rows_of(blk))
 
         def order1(_):
             # Adams-Bashforth warmup: eps midpoint via one Euler probe
             x1 = x_prev_from(img, e_t, a_t, a_prev, s1m_t)
-            e_t_next = eps_fn(x1, t_next)
+            e_t_next = eps_fn(x1, t_next, rows_of(blk_next))
             return (e_t + e_t_next) / 2.0
 
         def order2(_):
@@ -104,6 +119,9 @@ def plms_sample(
     (img, _, _), _ = jax.lax.scan(
         step,
         (img, eps_buf0, jnp.int32(0)),
-        (jnp.asarray(ts), jnp.asarray(ts_next), a_seq, ap_seq, s1m_seq),
+        (
+            (jnp.asarray(ts), jnp.asarray(ts_next), a_seq, ap_seq, s1m_seq),
+            (rows_xs, rows_next_xs) if rows_xs is not None else None,
+        ),
     )
     return img

@@ -73,9 +73,9 @@ def main():
     rng = jax.random.PRNGKey(1)
 
     def make_sample(use_fused: bool, unroll: int, n_steps=None, guidance=7.5,
-                    control=True):
+                    control=True, hoist=True):
         ddim = DDIMConfig(steps=n_steps or steps, guidance_scale=guidance,
-                          scan_unroll=unroll)
+                          scan_unroll=unroll, hoist_time_embed=hoist)
 
         def sample(params, fused, hint, ids, rng):
             ctx = pipe.encode_text_tokens(params, ids)
@@ -105,6 +105,7 @@ def main():
         "bf16flash": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_BF16", "1")),
         "bq256": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_BQ", "256")),
         # decomposition probes: per-step slope, CFG cost, CN cost, flash gain
+        "nohoist": dict(use_fused=True, unroll=1, env=None, hoist=False),
         "steps10": dict(use_fused=True, unroll=1, env=None, n_steps=10),
         "nocfg": dict(use_fused=True, unroll=1, env=None, guidance=1.0),
         "nocontrol": dict(use_fused=True, unroll=1, env=None, control=False),
@@ -122,6 +123,7 @@ def main():
             fn = make_sample(
                 s["use_fused"], s["unroll"], s.get("n_steps"),
                 s.get("guidance", 7.5), s.get("control", True),
+                s.get("hoist", True),
             )
             c = jax.jit(fn).lower(params, fused, hint, ids, rng).compile()
             print(f"[{name}] compiled in {time.perf_counter()-t0:.0f}s", flush=True)

@@ -46,7 +46,7 @@ def test_custom_vjp_gradients(rng):
     bias = jnp.asarray(rng.normal(0, 0.1, (64,)).astype(np.float32))
 
     def loss_fused(x, s, b):
-        return jnp.sum(group_norm(x, s, b, 32, 1e-5, True) ** 2)
+        return jnp.sum(group_norm(x, s, b, None, 32, 1e-5, True) ** 2)
 
     def loss_plain(x, s, b):
         return jnp.sum(_plain_group_norm(x, s, b, 32, 1e-5, True) ** 2)
@@ -69,3 +69,52 @@ def test_groupnorm32_module_unchanged_on_cpu(rng):
     params = m.init(jax.random.PRNGKey(0), x)
     out = m.apply(params, x)
     assert out.shape == x.shape
+
+
+def test_add_row_fold_matches_explicit_add():
+    """GN(x + row) via the stats-epilogue fold must equal materializing the
+    add, for [C], [1,C], and per-batch [B,C] rows, with and without SiLU."""
+    import numpy as np
+    from ctrlora_tpu.ops.group_norm import fused_group_norm, group_norm
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 64)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    for shape in [(64,), (1, 64), (2, 64)]:
+        row = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        for silu in (False, True):
+            ref = fused_group_norm(
+                x + row.reshape(-1, 1, 1, 64), scale, bias, 32, 1e-5, silu,
+                interpret=True,
+            )
+            out = fused_group_norm(
+                x, scale, bias, 32, 1e-5, silu, interpret=True, add_row=row
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=1e-5
+            )
+
+
+def test_add_row_gradients_flow():
+    """d/d(add_row) of the custom-vjp group_norm must match the gradient of
+    the explicit-add formulation (training uses this path for emb_proj)."""
+    import numpy as np
+    from ctrlora_tpu.ops.group_norm import group_norm
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 32)).astype(np.float32))
+    scale = jnp.ones((32,))
+    bias = jnp.zeros((32,))
+    row = jnp.asarray(rng.normal(size=(2, 32)).astype(np.float32))
+
+    g1 = jax.grad(
+        lambda r: jnp.sum(group_norm(x, scale, bias, r, 32, 1e-5, True) ** 2)
+    )(row)
+    g2 = jax.grad(
+        lambda r: jnp.sum(
+            group_norm(x + r[:, None, None, :], scale, bias, None, 32, 1e-5,
+                       True) ** 2
+        )
+    )(row)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
