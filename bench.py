@@ -344,15 +344,36 @@ def main():
     p.add_argument("--profile", type=str, default=None, help="jax.profiler trace dir")
     args = p.parse_args()
 
+    # The shared TPU host occasionally kills a remote compile (helper
+    # SIGKILL) or throws a transient ResourceExhausted; retry each section
+    # once, and never let a train-section failure discard an already
+    # measured sampling headline.
+    def _attempt(fn, label):
+        for attempt in (1, 2):
+            try:
+                return fn(args), None
+            except Exception as e:  # noqa: BLE001 — survive transient backend errors
+                err = f"{type(e).__name__}: {e}"
+                print(f"# {label} attempt {attempt} failed: {err[:300]}",
+                      flush=True)
+        return None, err
+
     result: dict = {}
     if not (args.skip_sample or args.train):
-        result.update(bench_sampling(args))
+        sample, err = _attempt(bench_sampling, "sampling")
+        if sample is None:
+            result["sampling_error"] = err[:500]
+        else:
+            result.update(sample)
     if not args.skip_train:
-        train = bench_train(args)
-        if result:
+        train, err = _attempt(bench_train, "train")
+        if train is None:
+            result["train_error"] = err[:500]
+        elif result and "value" in result:
             result.update(train)
-        else:  # train-only invocation: promote to the headline fields
+        else:  # train-only invocation (or failed sampling): promote to headline
             result = {
+                **result,
                 "metric": train["train_metric"],
                 "value": train["train_steps_per_sec"],
                 "unit": "steps/sec/chip",

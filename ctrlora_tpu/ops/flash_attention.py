@@ -45,12 +45,80 @@ LOG2E = 1.4426950408889634  # exp(x) == exp2(x * LOG2E); exp2 is the native
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk,
-                bf16_ops):
-    # bf16_ops: keep MXU operands in bf16 (fp32 accumulation via
-    # preferred_element_type). The scale is folded into q ONCE here — the
-    # reverted round-1 experiment instead multiplied every [bq, bk] logits
-    # block by scale on the VPU, which cost more than the MXU saved.
-    # logits tracked in the exp2 domain: s2 = (q.k * scale) * LOG2E
+                mxu_dtype, skip_max):
+    """VPU-pass-minimized forward. The profiled cost of this kernel at SD's
+    dominant [64, 4096, 40] geometry is NOT the matmuls (d=40 keeps the MXU
+    at ~31% and they are cheap in bf16) but the number of full VPU passes
+    over the [bq, sk] logits block. Three structural choices keep it at
+    max-reduce + one fused exp2-and-cast pass:
+
+    - MXU operands in the input dtype (bf16 for inference configs), fp32
+      accumulation via preferred_element_type. The round-2 bf16 experiment
+      measured neutral because its p.astype(bf16) was a SEPARATE pass while
+      a second consumer (the row-sum) pinned fp32 p in VMEM; here the cast
+      fuses into the exp2 pass because the matmul is p's only consumer.
+    - The softmax denominator comes out of the PV matmul: V is augmented
+      with a ones column inside the kernel ([sk, d+1]), so row-sum(p) is
+      the accumulator's last column — no separate VPU sum-reduce pass.
+    - The scale is folded into q ONCE (logits live in the exp2 domain:
+      s2 = (q.k * scale) * LOG2E); the reverted round-1 experiment instead
+      multiplied every logits block by scale on the VPU.
+
+    skip_max (CTRLORA_FLASH_NOMAX=1, single-sweep only): softmax is
+    shift-invariant for ANY constant, so the per-row max subtraction is an
+    overflow guard, not math — exp2 keeps fp32 finite for logits up to
+    127/LOG2E ~= 88 in natural units vs SD's observed |logits| < ~30.
+    Skipping it removes the remaining reduce pass.
+    """
+    q = q_ref[0].astype(jnp.float32) * (scale * LOG2E)  # [bq, D]
+    q = q.astype(mxu_dtype)
+    bq, d = q.shape
+    num_k = sk // block_k
+
+    def body(i, carry):
+        acc, m = carry  # acc [bq, d+1] fp32: PV sums | softmax denominator
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(mxu_dtype)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(mxu_dtype)
+        v_aug = jnp.concatenate(
+            [v, jnp.ones((block_k, 1), mxu_dtype)], axis=1
+        )
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if skip_max:
+            m_new = m
+            p = jnp.exp2(s).astype(mxu_dtype)
+            acc_new = acc + jax.lax.dot_general(
+                p, v_aug, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp2(s - m_new).astype(mxu_dtype)
+            alpha = jnp.exp2(m - m_new)
+            acc_new = acc * alpha + jax.lax.dot_general(
+                p, v_aug, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return acc_new, m_new
+
+    acc = jnp.zeros((bq, d + 1), jnp.float32)
+    m0 = 0.0 if skip_max else NEG_INF
+    acc, m = jax.lax.fori_loop(
+        0, num_k, body, (acc, jnp.full((bq, 1), m0, jnp.float32))
+    )
+    l = acc[:, d:]
+    o_ref[0] = (acc[:, :d] / l).astype(o_ref.dtype)
+    # emit natural-log lse (the backward's contract): ln(sumexp) =
+    # (m2 + log2(l)) * ln2
+    lse_ref[0, 0] = ((m + jnp.log2(l)) * (1.0 / LOG2E))[:, 0]
+
+
+def _fwd_kernel_v1(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk,
+                   bf16_ops):
+    """Round-2 forward (CTRLORA_FLASH_V1=1), kept for same-session A/Bs
+    against the pass-minimized kernel above; delete once the ledger has the
+    comparison. fp32 MXU operands by default, separate VPU sum pass."""
     if bf16_ops:
         q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(jnp.bfloat16)
     else:
@@ -83,8 +151,6 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk,
     l = jnp.zeros((bq, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc, m, l))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    # emit natural-log lse (the backward's contract): ln(sumexp) =
-    # (m2 + log2(l)) * ln2
     lse_ref[0, 0] = ((m + jnp.log2(l)) * (1.0 / LOG2E))[:, 0]
 
 
@@ -112,32 +178,42 @@ def _interpret() -> bool:
     return effective_platform() == "cpu"
 
 
-def _use_bf16_operands() -> bool:
+def _mxu_dtype(q) -> jnp.dtype:
+    """MXU operand dtype: the input dtype, unless fp32 operands are forced
+    (CTRLORA_FLASH_FP32MM=1 — numerics-debugging knob). fp32 inputs always
+    use fp32 operands; accumulation is fp32 either way."""
     import os
 
-    return bool(os.environ.get("CTRLORA_FLASH_BF16"))
+    if q.dtype == jnp.bfloat16 and not os.environ.get("CTRLORA_FLASH_FP32MM"):
+        return jnp.bfloat16
+    return jnp.float32
 
 
 def _single_sweep_vmem(block_q: int, sk: int, d: int, itemsize: int,
-                       bf16_ops: bool) -> int:
+                       mxu_itemsize: int) -> int:
     """Itemized resident-VMEM estimate for the single-k-sweep kernel:
-    [block_q, sk] fp32 logits, the K/V input refs at their true itemsize,
-    the in-kernel fp32 K/V copies the non-bf16_ops path makes, and the
-    q/acc/out blocks. The lane dim pads to 128."""
+    [block_q, sk] fp32 logits + the cast p block at MXU width, the K/V
+    input refs at their true itemsize, the in-kernel mxu-dtype K/V copies
+    when the cast is not a no-op, and the q/acc/out blocks. The lane dim
+    pads to 128."""
     dpad = max(d, 128)
     est = 4 * block_q * sk  # logits block (fp32)
+    est += mxu_itemsize * block_q * sk  # p = exp2(s).astype(mxu) block
     est += 2 * itemsize * sk * dpad  # K/V refs
-    if not bf16_ops and itemsize < 4:
-        est += 2 * 4 * sk * dpad  # fp32 copies of K and V inside the kernel
+    if mxu_itemsize != itemsize:
+        est += 2 * mxu_itemsize * sk * dpad  # cast copies of K and V
+    est += mxu_itemsize * sk * dpad  # ones-augmented V copy
     est += (itemsize + 4 + 4 + itemsize) * block_q * dpad  # q ref/scaled/acc/out
     return est
 
 
 # Threshold calibrated on-chip (perf/ledger.json 2026-08-17): the dominant
-# SD shape [8,8,4096,40] single-sweeps at ~14.8MB estimated (bf16 inputs,
-# fp32 ops) and measures 9% faster than 512-chunking; the VAE's d=512
-# single-head case estimates far above and must chunk (it compiled DEGRADED
-# inside big graphs when taken, 163ms vs 14ms decode).
+# SD shape [8,8,4096,40] must single-sweep (9% faster than 512-chunking)
+# but borderline-VMEM kernels compile DEGRADED inside big graphs (VAE
+# decode 163ms vs 14ms) — keep the estimate itemized and honest. With bf16
+# MXU operands the dominant shape estimates ~16.5MB at block_q=512 /
+# ~9.8MB at block_q=256, so the sweep search below shrinks block_q before
+# giving up on the single sweep.
 _SINGLE_SWEEP_LIMIT = int(15.5 * (1 << 20))
 
 
@@ -147,21 +223,46 @@ def _flash_forward(q, k, v, scale):
     block_q = _pick_block(sq, env="CTRLORA_FLASH_BQ")
     import os as _os
 
-    bf16_ops = _use_bf16_operands() and q.dtype == jnp.bfloat16
+    mxu_dtype = _mxu_dtype(q)
+    mxu_isz = jnp.dtype(mxu_dtype).itemsize
+
+    def _sweep_fits(bq: int) -> bool:
+        return _single_sweep_vmem(
+            bq, sk, d, q.dtype.itemsize, mxu_isz
+        ) <= _SINGLE_SWEEP_LIMIT
+
     if _os.environ.get("CTRLORA_FLASH_BK"):
         block_k = _pick_block(sk, env="CTRLORA_FLASH_BK")
-    elif block_q is not None and _single_sweep_vmem(
-        block_q, sk, d, q.dtype.itemsize, bf16_ops
-    ) <= _SINGLE_SWEEP_LIMIT:
-        block_k = sk
     else:
-        block_k = _pick_block(sk)
+        # prefer the single k-sweep, shrinking the q block to fit VMEM
+        # before falling back to chunked online softmax
+        block_k = None
+        cands = ((block_q,) if _os.environ.get("CTRLORA_FLASH_BQ")
+                 else (block_q, 256, 128))
+        for bq_cand in cands:
+            if (bq_cand and bq_cand <= sq and sq % bq_cand == 0
+                    and _sweep_fits(bq_cand)):
+                block_q, block_k = bq_cand, sk
+                break
+        if block_k is None:
+            block_k = _pick_block(sk)
     assert block_q is not None and block_k is not None
+    if _os.environ.get("CTRLORA_FLASH_V1"):
+        bf16_ops = (q.dtype == jnp.bfloat16
+                    and bool(_os.environ.get("CTRLORA_FLASH_BF16")))
+        kern = functools.partial(_fwd_kernel_v1, scale=scale,
+                                 block_k=block_k, sk=sk, bf16_ops=bf16_ops)
+    else:
+        # the max-subtraction is an overflow guard (softmax is shift-
+        # invariant); skipping it is only sensible in the single-sweep case
+        # where there is no running-max rescale anyway
+        skip_max = bool(_os.environ.get("CTRLORA_FLASH_NOMAX")) and block_k == sk
+        kern = functools.partial(_fwd_kernel, scale=scale, block_k=block_k,
+                                 sk=sk, mxu_dtype=mxu_dtype, skip_max=skip_max)
     g = b * h
     qf, kf, vf = (t.reshape(g, t.shape[2], d) for t in (q, k, v))
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, block_k=block_k, sk=sk,
-                          bf16_ops=bf16_ops),
+        kern,
         grid=(g, sq // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),

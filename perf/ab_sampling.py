@@ -106,6 +106,12 @@ def main():
         "bq256": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_BQ", "256")),
         # decomposition probes: per-step slope, CFG cost, CN cost, flash gain
         "nohoist": dict(use_fused=True, unroll=1, env=None, hoist=False),
+        # flash kernel generations (ops/flash_attention.py): v1 = round-2
+        # kernel (fp32 MXU operands, separate sum pass); default = v2
+        # (bf16 MXU, ones-augmented PV, fused exp2+cast); nomax = v2
+        # without the per-row max overflow guard
+        "flashv1": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_V1", "1")),
+        "nomax": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_NOMAX", "1")),
         "steps10": dict(use_fused=True, unroll=1, env=None, n_steps=10),
         "nocfg": dict(use_fused=True, unroll=1, env=None, guidance=1.0),
         "nocontrol": dict(use_fused=True, unroll=1, env=None, control=False),

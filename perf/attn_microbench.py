@@ -64,15 +64,21 @@ def main():
         flops = 2 * 2 * b * h * sq * sk * d  # QK^T + PV, MAC = 2 FLOPs
 
         rows = []
+        KNOBS = ("CTRLORA_FLASH_BF16", "CTRLORA_NO_FLASH", "CTRLORA_FLASH_V1",
+                 "CTRLORA_FLASH_NOMAX", "CTRLORA_FLASH_FP32MM",
+                 "CTRLORA_FLASH_BQ", "CTRLORA_FLASH_BK")
         for label, env in [
-            ("flash fp32-ops", {}),
-            ("flash bf16-ops", {"CTRLORA_FLASH_BF16": "1"}),
+            ("v1 fp32-ops", {"CTRLORA_FLASH_V1": "1"}),
+            ("v2 bf16-mxu", {}),
+            ("v2 fp32-mxu", {"CTRLORA_FLASH_FP32MM": "1"}),
+            ("v2 nomax", {"CTRLORA_FLASH_NOMAX": "1"}),
+            ("v2 bq512-chunk", {"CTRLORA_FLASH_BQ": "512",
+                                "CTRLORA_FLASH_BK": "512"}),
             ("xla fp32-softmax", {"CTRLORA_NO_FLASH": "1"}),
         ]:
-            old = {kk: os.environ.get(kk) for kk in
-                   ("CTRLORA_FLASH_BF16", "CTRLORA_NO_FLASH")}
-            os.environ.pop("CTRLORA_FLASH_BF16", None)
-            os.environ.pop("CTRLORA_NO_FLASH", None)
+            old = {kk: os.environ.get(kk) for kk in KNOBS}
+            for kk in KNOBS:
+                os.environ.pop(kk, None)
             os.environ.update(env)
             try:
                 from ctrlora_tpu.ops.flash_attention import dot_product_attention

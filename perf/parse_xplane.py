@@ -1,0 +1,109 @@
+"""Summarize a jax.profiler trace (xplane.pb) into top HLO ops by self-time.
+
+Usage: python perf/parse_xplane.py /tmp/prof_r3 [--tool hlo_stats] [--top 40]
+
+Runs entirely on the host (no JAX import); uses the installed `xprof`
+converter to turn the raw XSpace into the hlo_stats / op_profile table and
+prints an aggregated view: total device time, top ops by self-time, and a
+category rollup (fusion / convolution / custom-call / copy / etc.) with
+launch counts — the launch count is the number we care about on this
+runtime, where per-kernel dispatch is ~40-180us.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import csv
+import glob
+import io
+import json
+import os
+import sys
+
+
+def find_xplanes(root: str):
+    hits = glob.glob(os.path.join(root, "**", "*.xplane.pb"), recursive=True)
+    if not hits:
+        sys.exit(f"no *.xplane.pb under {root}")
+    return sorted(hits)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("trace_dir")
+    ap.add_argument("--tool", default="hlo_stats")
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--raw", action="store_true", help="dump raw converter output")
+    args = ap.parse_args()
+
+    from xprof.convert import raw_to_tool_data as r2t
+
+    paths = find_xplanes(args.trace_dir)
+    print(f"# xplanes: {paths}")
+    data, _ = r2t.xspace_to_tool_data(paths, args.tool, {})
+    if isinstance(data, bytes):
+        data = data.decode("utf-8", "replace")
+    if args.raw:
+        print(data)
+        return
+
+    # hlo_stats returns gviz-style JSON ({cols:[...], rows:[...]}) or CSV
+    # depending on version; handle both.
+    rows, cols = [], []
+    try:
+        obj = json.loads(data)
+        cols = [c["label"] for c in obj["cols"]]
+        for row in obj["rows"]:
+            rows.append([c.get("v") if isinstance(c, dict) else c for c in row["c"]])
+    except Exception:
+        rdr = csv.reader(io.StringIO(data))
+        cols = next(rdr)
+        rows = list(rdr)
+    print(f"# columns: {cols}")
+
+    def col(*names):
+        for n in names:
+            for i, c in enumerate(cols):
+                if n.lower() in str(c).lower():
+                    return i
+        return None
+
+    i_name = col("hlo op name", "op name", "name")
+    i_cat = col("category")
+    i_self = col("total self time (us)", "self time (us)", "self-time", "self time")
+    i_occ = col("#occurrences", "occurrences", "count")
+    if i_self is None or i_name is None:
+        print(data[:4000])
+        sys.exit("could not locate name/self-time columns; raw dump above")
+
+    def fnum(v):
+        try:
+            return float(v)
+        except Exception:
+            return 0.0
+
+    total = sum(fnum(r[i_self]) for r in rows)
+    print(f"# rows: {len(rows)}  total self time: {total/1e3:.2f} ms")
+
+    by_cat = collections.Counter()
+    occ_by_cat = collections.Counter()
+    for r in rows:
+        cat = r[i_cat] if i_cat is not None else "?"
+        by_cat[cat] += fnum(r[i_self])
+        occ_by_cat[cat] += int(fnum(r[i_occ])) if i_occ is not None else 1
+    print("\n== category rollup (self us, launches) ==")
+    for cat, us in by_cat.most_common():
+        print(f"{us/1e3:10.2f} ms  {occ_by_cat[cat]:8d} launches  {cat}")
+
+    print(f"\n== top {args.top} ops by self time ==")
+    srt = sorted(rows, key=lambda r: -fnum(r[i_self]))
+    for r in srt[: args.top]:
+        occ = int(fnum(r[i_occ])) if i_occ is not None else -1
+        cat = r[i_cat] if i_cat is not None else "?"
+        name = str(r[i_name])[:110]
+        print(f"{fnum(r[i_self])/1e3:10.2f} ms  x{occ:<6d} {cat:<18} {name}")
+
+
+if __name__ == "__main__":
+    main()

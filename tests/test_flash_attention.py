@@ -61,21 +61,69 @@ def test_backward_bf16_stable():
 
 def test_single_sweep_vmem_budget_decisions():
     """The itemized estimate must keep the on-chip-validated single sweep at
-    SD's dominant shape (bf16 in, fp32 ops: 9% faster than chunking,
-    perf/ledger.json) and must reject the VAE's d=512 single-head case,
-    which compiled DEGRADED inside big graphs when taken."""
+    SD's dominant shape (shrinking block_q to fit) and must reject the
+    VAE's d=512 single-head case, which compiled DEGRADED inside big graphs
+    when taken (perf/ledger.json)."""
     from ctrlora_tpu.ops.flash_attention import (
         _SINGLE_SWEEP_LIMIT, _single_sweep_vmem,
     )
 
-    # SD 64x64 self-attention: [*, *, 4096, 40], bf16 inputs
-    assert _single_sweep_vmem(512, 4096, 40, 2, False) <= _SINGLE_SWEEP_LIMIT
-    assert _single_sweep_vmem(512, 4096, 40, 2, True) <= _SINGLE_SWEEP_LIMIT
-    # fp32 inputs at the same shape: bigger refs but no in-kernel copies;
-    # still fits
-    assert _single_sweep_vmem(512, 4096, 40, 4, False) <= _SINGLE_SWEEP_LIMIT
+    # SD 64x64 self-attention: [*, *, 4096, 40], bf16 in / bf16 MXU — the
+    # cast-p block pushes block_q=512 over budget; the selector's fallback
+    # block_q=256 must fit
+    assert _single_sweep_vmem(512, 4096, 40, 2, 2) > _SINGLE_SWEEP_LIMIT
+    assert _single_sweep_vmem(256, 4096, 40, 2, 2) <= _SINGLE_SWEEP_LIMIT
+    # fp32 in / fp32 MXU at the same shape: fits at block_q=256
+    assert _single_sweep_vmem(256, 4096, 40, 4, 4) <= _SINGLE_SWEEP_LIMIT
     # the VAE bottleneck attention (single head, d=512) must never sweep
-    assert _single_sweep_vmem(512, 4096, 512, 2, False) > _SINGLE_SWEEP_LIMIT
-    assert _single_sweep_vmem(512, 4096, 512, 4, False) > _SINGLE_SWEEP_LIMIT
+    for bq in (512, 256, 128):
+        assert _single_sweep_vmem(bq, 4096, 512, 2, 2) > _SINGLE_SWEEP_LIMIT
+        assert _single_sweep_vmem(bq, 4096, 512, 4, 4) > _SINGLE_SWEEP_LIMIT
     # the 32x32 level [*, *, 1024, 80] easily sweeps in every dtype
-    assert _single_sweep_vmem(512, 1024, 80, 4, False) <= _SINGLE_SWEEP_LIMIT
+    assert _single_sweep_vmem(512, 1024, 80, 2, 2) <= _SINGLE_SWEEP_LIMIT
+    assert _single_sweep_vmem(512, 1024, 80, 4, 4) <= _SINGLE_SWEEP_LIMIT
+
+
+def test_forward_bf16_mxu_matches_fp32_reference():
+    """bf16 MXU operands (the default for bf16 inputs) must track the fp32
+    reference within bf16 rounding."""
+    b, h, sq, d, sk = 1, 2, 512, 40, 512
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    qf = jax.random.normal(ks[0], (b, h, sq, d))
+    kf = jax.random.normal(ks[1], (b, h, sk, d))
+    vf = jax.random.normal(ks[2], (b, h, sk, d))
+    out = flash_attention(
+        qf.astype(jnp.bfloat16), kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16)
+    )
+    ref = xla_attention(qf, kf, vf, d**-0.5)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=3e-2, rtol=3e-2
+    )
+
+
+def test_forward_nomax_exact(monkeypatch):
+    """Softmax is shift-invariant for any constant: the NOMAX single-sweep
+    (no per-row max subtraction) must agree with the guarded kernel."""
+    monkeypatch.setenv("CTRLORA_FLASH_NOMAX", "1")
+    b, h, sq, d, sk = 1, 2, 256, 40, 256
+    ks = jax.random.split(jax.random.PRNGKey(4), 3)
+    q = jax.random.normal(ks[0], (b, h, sq, d))
+    k = jax.random.normal(ks[1], (b, h, sk, d))
+    v = jax.random.normal(ks[2], (b, h, sk, d))
+    out = flash_attention(q, k, v)
+    ref = xla_attention(q, k, v, d**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_forward_v1_kernel_matches(monkeypatch):
+    """The retained round-2 kernel (CTRLORA_FLASH_V1, A/B baseline) still
+    matches the reference."""
+    monkeypatch.setenv("CTRLORA_FLASH_V1", "1")
+    b, h, sq, d, sk = 1, 2, 256, 40, 256
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(ks[0], (b, h, sq, d))
+    k = jax.random.normal(ks[1], (b, h, sk, d))
+    v = jax.random.normal(ks[2], (b, h, sk, d))
+    out = flash_attention(q, k, v)
+    ref = xla_attention(q, k, v, d**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
