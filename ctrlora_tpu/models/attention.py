@@ -38,6 +38,23 @@ class _Kernel(nn.Module):
         )
 
 
+class _KernelBias(nn.Module):
+    """Dense-compatible kernel+bias params ({name}/kernel, {name}/bias)
+    without applying them — for hand-fused consumers (ops/geglu_ffn)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return (
+            self.param(
+                "kernel", nn.initializers.lecun_normal(),
+                (in_features, self.features), jnp.float32,
+            ),
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32),
+        )
+
+
 class CrossAttention(nn.Module):
     """Self- or cross-attention with optional LoRA on q/k/v/out and an
     optional IP-Adapter image branch (extra k/v projections over the last
@@ -127,6 +144,23 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x, lora_idx=None):
         inner = self.dim * self.mult
+        if self.lora is None or self.lora.n_loras == 0:
+            # hand-fused path: the [*, 2*inner] up-projection never touches
+            # HBM (ops/geglu_ffn.py — the profiled XLA down-proj fusion reads
+            # it back HBM-bound at ~1/3 of peak bandwidth). Same param names
+            # as the Dense path, so checkpoints and the fused-LoRA trees are
+            # unaffected.
+            from ctrlora_tpu.ops.geglu_ffn import geglu_ffn, geglu_ffn_ok
+
+            w1, b1 = _KernelBias(inner * 2, name="proj")(x.shape[-1])
+            w2, b2 = _KernelBias(self.dim, name="out")(inner)
+            xc = x.astype(self.dtype)
+            if geglu_ffn_ok(xc, w1):
+                return geglu_ffn(xc, w1, b1, w2, b2)
+            h = jnp.dot(xc, w1.astype(self.dtype)) + b1.astype(self.dtype)
+            h, gate = jnp.split(h, 2, axis=-1)
+            h = h * nn.gelu(gate, approximate=False)
+            return jnp.dot(h, w2.astype(self.dtype)) + b2.astype(self.dtype)
         h = Dense(inner * 2, dtype=self.dtype, lora=self.lora, name="proj")(x, lora_idx)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * nn.gelu(gate, approximate=False)

@@ -1,0 +1,153 @@
+"""Pallas TPU fused GEGLU feed-forward: (x @ W1 + b1) -> split -> a * gelu(g)
+-> (@ W2 + b2), all in VMEM.
+
+Why: the transformer FFN at SD's 64x64 sites materializes an
+[8, 4096, 2560] bf16 intermediate (168 MB) in HBM between the up-projection
+and the gate+down-projection; the profiled down-proj fusion reads it back at
+only ~280 GiB/s of the chip's 819 GB/s (hlo_stats 2026-08-17: the
+add_add_fusion.6x family, ~0.7 ms/step/site HBM-bound, on top of the
+~0.5 ms up-proj). This kernel streams row blocks of x instead: HBM traffic
+drops from ~3 passes over the 2F-wide tensor to one read of x and one write
+of the output, and both matmuls run back-to-back on MXU-friendly shapes
+(K = C and K = F, both >= 320).
+
+Semantics match models/attention.py::FeedForward (reference:
+ldm/modules/attention.py:48-75, glu=True): exact (erf) GELU on the second
+half of the up-projection. Weights are the flax Dense params used by the
+jnp path, so checkpoints are unaffected.
+
+Differentiable via a recompute-based custom VJP (same scheme as
+ops/group_norm.py): Pallas forward, jnp-reference backward.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _mxu_dtype(x) -> jnp.dtype:
+    return jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+
+
+def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, f):
+    mxu = w1_ref.dtype
+    x = x_ref[...].astype(mxu)  # [bs, C]
+    # fp32-accumulated dot cast to the compute dtype — identical rounding to
+    # the jnp path's bf16 dot (XLA accumulates bf16 dots in fp32 too)
+    h = (jax.lax.dot_general(
+        x, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[...].astype(jnp.float32)).astype(mxu)  # [bs, 2F]
+    a, g = h[:, :f], h[:, f:].astype(jnp.float32)
+    # exact GELU (erf), matching nn.gelu(approximate=False)
+    gated = a * (0.5 * g * (1.0 + jax.lax.erf(g * (2.0 ** -0.5)))).astype(mxu)
+    out = jax.lax.dot_general(
+        gated, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[...].astype(jnp.float32)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _vmem_est(bs: int, c: int, f: int, isz: int) -> int:
+    """Resident estimate: weights, x/out blocks, the [bs, 2F] up-projection
+    at compute width, the fp32 gelu temp and the gated block."""
+    est = isz * c * 2 * f + isz * f * c  # W1 + W2
+    est += (isz + isz) * bs * c  # x block + out block
+    est += isz * bs * 2 * f  # h (compute dtype)
+    est += (4 + isz) * bs * f  # fp32 gelu temp + gated
+    return est
+
+
+_VMEM_LIMIT = int(14.5 * (1 << 20))
+
+
+def _pick_rows(rows: int, c: int, f: int, isz: int) -> Optional[int]:
+    for bs in (512, 256, 128):
+        if rows % bs == 0 and _vmem_est(bs, c, f, isz) <= _VMEM_LIMIT:
+            return bs
+    return None
+
+
+def _reference(x, w1, b1, w2, b2):
+    """jnp math identical to the FeedForward Dense path (fp32 dots when the
+    inputs are fp32; bf16 inputs follow the module's compute dtype)."""
+    h = jnp.dot(x, w1.astype(x.dtype)) + b1.astype(x.dtype)
+    a, g = jnp.split(h, 2, axis=-1)
+    h = a * jax.nn.gelu(g, approximate=False)
+    return jnp.dot(h, w2.astype(x.dtype)) + b2.astype(x.dtype)
+
+
+def geglu_ffn_ok(x: jnp.ndarray, w1: jnp.ndarray) -> bool:
+    import os
+
+    if os.environ.get("CTRLORA_NO_GEGLU_FFN"):  # A/B knob (perf/ab_sampling)
+        return False
+    c, f2 = w1.shape
+    f = f2 // 2
+    rows = 1
+    for s in x.shape[:-1]:
+        rows *= s
+    isz = jnp.dtype(_mxu_dtype(x)).itemsize
+    return (
+        x.shape[-1] == c
+        and f2 == 2 * f
+        and _pick_rows(rows, c, f, isz) is not None
+    )
+
+
+def _interpret() -> bool:
+    from ctrlora_tpu.utils.platform import effective_platform
+
+    return effective_platform() == "cpu"
+
+
+def _forward(x, w1, b1, w2, b2):
+    orig_shape = x.shape
+    c = x.shape[-1]
+    f = w1.shape[1] // 2
+    rows = 1
+    for s in orig_shape[:-1]:
+        rows *= s
+    mxu = _mxu_dtype(x)
+    isz = jnp.dtype(mxu).itemsize
+    bs = _pick_rows(rows, c, f, isz)
+    assert bs is not None, "geglu_ffn_ok must gate this call"
+    xf = x.reshape(rows, c)
+    out = pl.pallas_call(
+        functools.partial(_kernel, f=f),
+        grid=(rows // bs,),
+        in_specs=[
+            pl.BlockSpec((bs, c), lambda i: (i, 0)),
+            pl.BlockSpec((c, 2 * f), lambda i: (0, 0)),
+            pl.BlockSpec((2 * f,), lambda i: (0,)),
+            pl.BlockSpec((f, c), lambda i: (0, 0)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((bs, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, c), x.dtype),
+        interpret=_interpret(),
+    )(xf, w1.astype(mxu), b1.astype(mxu), w2.astype(mxu), b2.astype(mxu))
+    return out.reshape(orig_shape)
+
+
+@jax.custom_vjp
+def geglu_ffn(x, w1, b1, w2, b2):
+    """Fused GEGLU FFN; w1 [C, 2F], b1 [2F], w2 [F, C], b2 [C]."""
+    return _forward(x, w1, b1, w2, b2)
+
+
+def _ffn_fwd(x, w1, b1, w2, b2):
+    return _forward(x, w1, b1, w2, b2), (x, w1, b1, w2, b2)
+
+
+def _ffn_bwd(res, g):
+    _, vjp = jax.vjp(_reference, *res)
+    return vjp(g)
+
+
+geglu_ffn.defvjp(_ffn_fwd, _ffn_bwd)

@@ -108,10 +108,11 @@ def main():
         "nohoist": dict(use_fused=True, unroll=1, env=None, hoist=False),
         # flash kernel generations (ops/flash_attention.py): v1 = round-2
         # kernel (fp32 MXU operands, separate sum pass); default = v2
-        # (bf16 MXU, ones-augmented PV, fused exp2+cast); nomax = v2
-        # without the per-row max overflow guard
+        # (bf16 MXU, ones-augmented PV, fused clamped exp2+cast); safemax =
+        # v2 with the exact per-row max guard instead of the clamp
         "flashv1": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_V1", "1")),
-        "nomax": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_NOMAX", "1")),
+        "safemax": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_SAFEMAX", "1")),
+        "noffn": dict(use_fused=True, unroll=1, env=("CTRLORA_NO_GEGLU_FFN", "1")),
         "steps10": dict(use_fused=True, unroll=1, env=None, n_steps=10),
         "nocfg": dict(use_fused=True, unroll=1, env=None, guidance=1.0),
         "nocontrol": dict(use_fused=True, unroll=1, env=None, control=False),

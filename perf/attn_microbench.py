@@ -65,13 +65,13 @@ def main():
 
         rows = []
         KNOBS = ("CTRLORA_FLASH_BF16", "CTRLORA_NO_FLASH", "CTRLORA_FLASH_V1",
-                 "CTRLORA_FLASH_NOMAX", "CTRLORA_FLASH_FP32MM",
+                 "CTRLORA_FLASH_SAFEMAX", "CTRLORA_FLASH_FP32MM",
                  "CTRLORA_FLASH_BQ", "CTRLORA_FLASH_BK")
         for label, env in [
             ("v1 fp32-ops", {"CTRLORA_FLASH_V1": "1"}),
-            ("v2 bf16-mxu", {}),
+            ("v2 default", {}),
             ("v2 fp32-mxu", {"CTRLORA_FLASH_FP32MM": "1"}),
-            ("v2 nomax", {"CTRLORA_FLASH_NOMAX": "1"}),
+            ("v2 safemax", {"CTRLORA_FLASH_SAFEMAX": "1"}),
             ("v2 bq512-chunk", {"CTRLORA_FLASH_BQ": "512",
                                 "CTRLORA_FLASH_BK": "512"}),
             ("xla fp32-softmax", {"CTRLORA_NO_FLASH": "1"}),

@@ -101,10 +101,10 @@ def test_forward_bf16_mxu_matches_fp32_reference():
     )
 
 
-def test_forward_nomax_exact(monkeypatch):
-    """Softmax is shift-invariant for any constant: the NOMAX single-sweep
-    (no per-row max subtraction) must agree with the guarded kernel."""
-    monkeypatch.setenv("CTRLORA_FLASH_NOMAX", "1")
+def test_forward_safemax_matches_default(monkeypatch):
+    """Softmax is shift-invariant for any constant: the default single-sweep
+    (clamped exp2, no per-row max subtraction) must agree with the exact
+    max-guarded kernel (CTRLORA_FLASH_SAFEMAX=1)."""
     b, h, sq, d, sk = 1, 2, 256, 40, 256
     ks = jax.random.split(jax.random.PRNGKey(4), 3)
     q = jax.random.normal(ks[0], (b, h, sq, d))
@@ -113,6 +113,22 @@ def test_forward_nomax_exact(monkeypatch):
     out = flash_attention(q, k, v)
     ref = xla_attention(q, k, v, d**-0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+    monkeypatch.setenv("CTRLORA_FLASH_SAFEMAX", "1")
+    guarded = flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(guarded),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_forward_huge_logits_stay_finite():
+    """The clamped-exp2 default must degrade gracefully (finite output, no
+    NaN) even for logits far beyond SD's observed range."""
+    b, h, sq, d, sk = 1, 1, 256, 40, 256
+    ks = jax.random.split(jax.random.PRNGKey(6), 3)
+    q = 60.0 * jax.random.normal(ks[0], (b, h, sq, d))
+    k = 60.0 * jax.random.normal(ks[1], (b, h, sk, d))
+    v = jax.random.normal(ks[2], (b, h, sk, d))
+    out = flash_attention(q, k, v)
+    assert np.isfinite(np.asarray(out)).all()
 
 
 def test_forward_v1_kernel_matches(monkeypatch):
