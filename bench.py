@@ -180,8 +180,7 @@ def bench_sampling(args) -> dict:
     # regressions from the artifact alone. Each phase returns a scalar
     # checksum so a phase can be awaited without fetching its tensors.
     def prep_fn(params, fused, hint, ids):
-        ctx = pipe.encode_text_tokens(params, ids)
-        uncond = pipe.encode_text_tokens(params, jnp.zeros_like(ids))
+        ctx, uncond = pipe.encode_text_cond_uncond(params, ids, jnp.zeros_like(ids))
         hint_z = pipe.encode_first_stage(params, hint)
         return ctx, uncond, hint_z, jnp.sum(hint_z)
 

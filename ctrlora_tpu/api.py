@@ -87,8 +87,7 @@ class CtrLoRA:
             @jax.jit
             def fn(params, fused_controls, hints, token_ids, n_token_ids,
                    lora_weights, control_scales, rng):
-                ctx = pipe.encode_text_tokens(params, token_ids)
-                unc = pipe.encode_text_tokens(params, n_token_ids)
+                ctx, unc = pipe.encode_text_cond_uncond(params, token_ids, n_token_ids)
                 conds = []
                 for i in range(n_loras):
                     hz = pipe.encode_first_stage(params, hints[i])

@@ -34,6 +34,21 @@ def _mxu_dtype(x) -> jnp.dtype:
     return jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
 
 
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 polynomial erf (max abs error 1.5e-7) —
+    Mosaic has no erf lowering; this stays elementwise so it fuses into the
+    gate pass. fp32 in/out."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
 def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, f):
     mxu = w1_ref.dtype
     x = x_ref[...].astype(mxu)  # [bs, C]
@@ -44,8 +59,9 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, f):
         preferred_element_type=jnp.float32,
     ) + b1_ref[...].astype(jnp.float32)).astype(mxu)  # [bs, 2F]
     a, g = h[:, :f], h[:, f:].astype(jnp.float32)
-    # exact GELU (erf), matching nn.gelu(approximate=False)
-    gated = a * (0.5 * g * (1.0 + jax.lax.erf(g * (2.0 ** -0.5)))).astype(mxu)
+    # exact-form GELU matching nn.gelu(approximate=False) via the A&S erf
+    # polynomial (1.5e-7 — far below bf16 resolution)
+    gated = a * (0.5 * g * (1.0 + _erf(g * (2.0 ** -0.5)))).astype(mxu)
     out = jax.lax.dot_general(
         gated, w2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

@@ -178,6 +178,18 @@ class CtrLoraPipeline:
         ]
         return jnp.concatenate(outs, axis=1)
 
+    def encode_text_cond_uncond(
+        self, params: Params, token_ids: jnp.ndarray, uncond_ids: jnp.ndarray
+    ):
+        """Encode the CFG pair as ONE batched CLIP call (the two encodes are
+        the same graph; batching halves the launch count and doubles the
+        per-matmul batch in the prep phase)."""
+        both = self.encode_text_tokens(
+            params, jnp.concatenate([token_ids, uncond_ids], axis=0)
+        )
+        b = token_ids.shape[0]
+        return both[:b], both[b:]
+
     def encode_text(self, params: Params, prompts: Sequence[str], windows: int = 1):
         """Host-side helper: tokenize + encode (not jittable)."""
         ids = default_tokenizer()(prompts, windows=windows)

@@ -143,8 +143,7 @@ def main():
             scales = jnp.full((taps,), args.strength, jnp.float32)
 
             def sample_fn(params, hint, ids, nids, rng):
-                ctx = pipe.encode_text_tokens(params, ids)
-                unc = pipe.encode_text_tokens(params, nids)
+                ctx, unc = pipe.encode_text_cond_uncond(params, ids, nids)
                 hz = pipe.encode_first_stage(params, hint)
                 import functools
 
