@@ -17,7 +17,9 @@ from flax import linen as nn
 
 from ctrlora_tpu.configs import LoRAConfig
 from ctrlora_tpu.models.layers import Conv, Dense, GroupNorm32, LayerNorm32
-from ctrlora_tpu.ops.flash_attention import dot_product_attention
+from ctrlora_tpu.ops.flash_attention import (
+    dot_product_attention, dot_product_attention_bshd,
+)
 
 Dtype = Any
 
@@ -111,10 +113,21 @@ class CrossAttention(nn.Module):
 
         b, sq, _ = q.shape
         split = lambda t: t.reshape(b, t.shape[1], self.heads, self.dim_head).transpose(0, 2, 1, 3)
-        out = dot_product_attention(
-            split(q), split(k), split(v), use_flash=self.use_flash
-        )
-        out = out.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+        import os
+
+        if os.environ.get("CTRLORA_FLASH_BSHD"):
+            # head-split WITHOUT the BHSD transpose: the flash kernel grids
+            # over (batch, head) and slices head columns itself, saving a
+            # layout copy of q/k/v/out per site (opt-in pending on-chip A/B)
+            heads4 = lambda t: t.reshape(b, t.shape[1], self.heads, self.dim_head)
+            out = dot_product_attention_bshd(
+                heads4(q), heads4(k), heads4(v), use_flash=self.use_flash
+            ).reshape(b, sq, inner)
+        else:
+            out = dot_product_attention(
+                split(q), split(k), split(v), use_flash=self.use_flash
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(b, sq, inner)
 
         if ip_ctx is not None:
             # IP-Adapter branch (reference: attention_ip.py:208-288): separate

@@ -45,7 +45,7 @@ LOG2E = 1.4426950408889634  # exp(x) == exp2(x * LOG2E); exp2 is the native
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk,
-                mxu_dtype, skip_max):
+                mxu_dtype, skip_max, bshd=False):
     """VPU-pass-minimized forward. The profiled cost of this kernel at SD's
     dominant [64, 4096, 40] geometry is NOT the matmuls (d=40 keeps the MXU
     at ~31% and they are cheap in bf16) but the number of full VPU passes
@@ -69,16 +69,26 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk,
     overflow guard, not math — exp2 keeps fp32 finite for logits up to
     127/LOG2E ~= 88 in natural units vs SD's observed |logits| < ~30.
     Skipping it removes the remaining reduce pass.
+
+    bshd: refs carry a singleton head dim ([1, s, 1, d] blocks sliced from
+    [B, S, H, D] operands) so the kernel can consume the projections'
+    natural layout — the BHSD transpose otherwise costs a [8,4096,8,40]
+    layout copy per operand per site (~180 ms/batch profiled 2026-08-17).
     """
-    q = q_ref[0].astype(jnp.float32) * (scale * LOG2E)  # [bq, D]
+    if bshd:
+        q = q_ref[0, :, 0, :].astype(jnp.float32) * (scale * LOG2E)
+        kv_blk = lambda ref, sl: ref[0, sl, 0, :]
+    else:
+        q = q_ref[0].astype(jnp.float32) * (scale * LOG2E)  # [bq, D]
+        kv_blk = lambda ref, sl: ref[0, sl, :]
     q = q.astype(mxu_dtype)
     bq, d = q.shape
     num_k = sk // block_k
 
     def body(i, carry):
         acc, m = carry  # acc [bq, d+1] fp32: PV sums | softmax denominator
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(mxu_dtype)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(mxu_dtype)
+        k = kv_blk(k_ref, pl.ds(i * block_k, block_k)).astype(mxu_dtype)
+        v = kv_blk(v_ref, pl.ds(i * block_k, block_k)).astype(mxu_dtype)
         v_aug = jnp.concatenate(
             [v, jnp.ones((block_k, 1), mxu_dtype)], axis=1
         )
@@ -117,7 +127,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk,
         # graceful degradation if every logit in a row underflowed exp2
         # (all-natural-logits < ~-87, pathological): emit 0, not NaN
         l = jnp.maximum(l, 1e-30)
-    o_ref[0] = (acc[:, :d] / l).astype(o_ref.dtype)
+    o = (acc[:, :d] / l).astype(o_ref.dtype)
+    if bshd:
+        o_ref[0, :, 0, :] = o
+    else:
+        o_ref[0] = o
     # emit natural-log lse (the backward's contract): ln(sumexp) =
     # (m2 + log2(l)) * ln2
     lse_ref[0, 0] = ((m + jnp.log2(l)) * (1.0 / LOG2E))[:, 0]
@@ -226,9 +240,13 @@ def _single_sweep_vmem(block_q: int, sk: int, d: int, itemsize: int,
 _SINGLE_SWEEP_LIMIT = int(15.5 * (1 << 20))
 
 
-def _flash_forward(q, k, v, scale):
-    b, h, sq, d = q.shape
-    sk = k.shape[2]
+def _flash_forward(q, k, v, scale, bshd=False):
+    if bshd:
+        b, sq, h, d = q.shape
+        sk = k.shape[1]
+    else:
+        b, h, sq, d = q.shape
+        sk = k.shape[2]
     block_q = _pick_block(sq, env="CTRLORA_FLASH_BQ")
     import os as _os
 
@@ -256,6 +274,35 @@ def _flash_forward(q, k, v, scale):
         if block_k is None:
             block_k = _pick_block(sk)
     assert block_q is not None and block_k is not None
+    if bshd:
+        # BSHD consumes the projections' natural [B, S, H, D] layout: grid
+        # over (batch, head, q-block), operand blocks slice one head's d
+        # columns (strided DMA — small next to the matmul time, vs a full
+        # layout-copy of q/k/v/out per site on the BHSD path)
+        skip_max = (block_k == sk
+                    and not _os.environ.get("CTRLORA_FLASH_SAFEMAX"))
+        kern = functools.partial(_fwd_kernel, scale=scale, block_k=block_k,
+                                 sk=sk, mxu_dtype=mxu_dtype,
+                                 skip_max=skip_max, bshd=True)
+        out, lse = pl.pallas_call(
+            kern,
+            grid=(b, h, sq // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, 1, d), lambda i, j, n: (i, n, j, 0)),
+                pl.BlockSpec((1, sk, 1, d), lambda i, j, n: (i, 0, j, 0)),
+                pl.BlockSpec((1, sk, 1, d), lambda i, j, n: (i, 0, j, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, 1, d), lambda i, j, n: (i, n, j, 0)),
+                pl.BlockSpec((1, 1, block_q), lambda i, j, n: (i * h + j, 0, n)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, sq, h, d), q.dtype),
+                jax.ShapeDtypeStruct((b * h, 1, sq), jnp.float32),
+            ],
+            interpret=_interpret(),
+        )(q, k, v)
+        return out, lse.reshape(b, h, sq)
     if _os.environ.get("CTRLORA_FLASH_V1"):
         bf16_ops = (q.dtype == jnp.bfloat16
                     and bool(_os.environ.get("CTRLORA_FLASH_BF16")))
@@ -446,6 +493,29 @@ def _flash_fwd(q, k, v, scale):
 _flash_attention.defvjp(_flash_fwd, _flash_backward)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_attention_bshd(q, k, v, scale):
+    return _flash_forward(q, k, v, scale, bshd=True)[0]
+
+
+def _flash_bshd_fwd(q, k, v, scale):
+    out, lse = _flash_forward(q, k, v, scale, bshd=True)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_bshd_bwd(scale, res, g):
+    # the backward reuses the BHSD kernels via transposes: sampling (the
+    # layout-copy hot path) never differentiates, and in training the
+    # transposes are one-time per step, not per-sample-step
+    q, k, v, out, lse = res
+    tr = lambda t: t.transpose(0, 2, 1, 3)
+    dq, dk, dv = _flash_backward(scale, (tr(q), tr(k), tr(v), tr(out), lse), tr(g))
+    return tr(dq), tr(dk), tr(dv)
+
+
+_flash_attention_bshd.defvjp(_flash_bshd_fwd, _flash_bshd_bwd)
+
+
 def _on_tpu() -> bool:
     try:
         from ctrlora_tpu.utils.platform import effective_platform
@@ -490,3 +560,36 @@ def dot_product_attention(
     if flash_ok:
         return _flash_attention(q, k, v, scale)
     return xla_attention(q, k, v, scale)
+
+
+def dot_product_attention_bshd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    use_flash: bool = True,
+) -> jnp.ndarray:
+    """Multi-head attention over [B, S, H, D] tensors, unmasked.
+
+    Same math as dot_product_attention but consumes/produces the head-split
+    projection layout directly, so no BHSD transpose (a layout copy per
+    operand per site on TPU) is needed around the kernel. Falls back to
+    transpose + XLA softmax off-TPU or for non-tiling geometries.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    sq, sk = q.shape[1], k.shape[1]
+    import os
+
+    flash_ok = (
+        use_flash
+        and not os.environ.get("CTRLORA_NO_FLASH")
+        and _on_tpu()
+        and sk >= 256
+        and _pick_block(sq) is not None
+        and _pick_block(sk) is not None
+    )
+    if flash_ok:
+        return _flash_attention_bshd(q, k, v, scale)
+    tr = lambda t: t.transpose(0, 2, 1, 3)
+    return tr(xla_attention(tr(q), tr(k), tr(v), scale))

@@ -101,7 +101,11 @@ def _reference(x, w1, b1, w2, b2):
 def geglu_ffn_ok(x: jnp.ndarray, w1: jnp.ndarray) -> bool:
     import os
 
-    if os.environ.get("CTRLORA_NO_GEGLU_FFN"):  # A/B knob (perf/ab_sampling)
+    # Opt-in (CTRLORA_GEGLU_FFN=1) until the kernel has a clean on-chip A/B:
+    # its first real-TPU execution (2026-08-17 19:0x) never returned within
+    # 50 min and the session's tunnel wedged — default-on would put an
+    # unvalidated kernel on the driver-bench path.
+    if not os.environ.get("CTRLORA_GEGLU_FFN"):
         return False
     c, f2 = w1.shape
     f = f2 // 2

@@ -112,7 +112,8 @@ def main():
         # v2 with the exact per-row max guard instead of the clamp
         "flashv1": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_V1", "1")),
         "safemax": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_SAFEMAX", "1")),
-        "noffn": dict(use_fused=True, unroll=1, env=("CTRLORA_NO_GEGLU_FFN", "1")),
+        "ffn": dict(use_fused=True, unroll=1, env=("CTRLORA_GEGLU_FFN", "1")),
+        "bshd": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_BSHD", "1")),
         "steps10": dict(use_fused=True, unroll=1, env=None, n_steps=10),
         "nocfg": dict(use_fused=True, unroll=1, env=None, guidance=1.0),
         "nocontrol": dict(use_fused=True, unroll=1, env=None, control=False),

@@ -143,3 +143,58 @@ def test_forward_v1_kernel_matches(monkeypatch):
     out = flash_attention(q, k, v)
     ref = xla_attention(q, k, v, d**-0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_forward_bshd_matches_xla():
+    """BSHD entry (natural projection layout, no BHSD transpose) must match
+    the XLA reference; exercises the singleton-head-dim BlockSpec indexing
+    in interpret mode."""
+    from ctrlora_tpu.ops.flash_attention import _flash_attention_bshd
+
+    b, sq, h, d, sk = 2, 256, 3, 40, 512
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(ks[0], (b, sq, h, d))
+    k = jax.random.normal(ks[1], (b, sk, h, d))
+    v = jax.random.normal(ks[2], (b, sk, h, d))
+    out = _flash_attention_bshd(q, k, v, d**-0.5)
+    tr = lambda t: t.transpose(0, 2, 1, 3)
+    ref = tr(xla_attention(tr(q), tr(k), tr(v), d**-0.5))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_backward_bshd_matches_xla():
+    from ctrlora_tpu.ops.flash_attention import _flash_attention_bshd
+
+    b, sq, h, d, sk = 1, 256, 2, 32, 256
+    ks = jax.random.split(jax.random.PRNGKey(6), 4)
+    q = jax.random.normal(ks[0], (b, sq, h, d))
+    k = jax.random.normal(ks[1], (b, sk, h, d))
+    v = jax.random.normal(ks[2], (b, sk, h, d))
+    ct = jax.random.normal(ks[3], (b, sq, h, d))
+    tr = lambda t: t.transpose(0, 2, 1, 3)
+
+    gf = jax.grad(
+        lambda q, k, v: jnp.sum(_flash_attention_bshd(q, k, v, d**-0.5) * ct),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gr = jax.grad(
+        lambda q, k, v: jnp.sum(tr(xla_attention(tr(q), tr(k), tr(v), d**-0.5)) * ct),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5, rtol=1e-3)
+
+
+def test_cross_attention_module_bshd_matches_default(monkeypatch):
+    """The module-level BSHD dispatch must be output-identical to the
+    transpose path (same params, same math, CPU fallback)."""
+    from ctrlora_tpu.models.attention import CrossAttention
+
+    mod = CrossAttention(query_dim=64, heads=4, dim_head=16)
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 256, 64))
+    params = mod.init(jax.random.PRNGKey(8), x)["params"]
+    monkeypatch.delenv("CTRLORA_FLASH_BSHD", raising=False)
+    ref = mod.apply({"params": params}, x)
+    monkeypatch.setenv("CTRLORA_FLASH_BSHD", "1")
+    out = mod.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)

@@ -22,9 +22,13 @@ def _make(rows, c, mult=4, dtype=jnp.float32, seed=0):
     return x, w1, b1, w2, b2
 
 
-def test_forward_matches_reference_fp32():
+def test_forward_matches_reference_fp32(monkeypatch):
     x, w1, b1, w2, b2 = _make(256, 64)
+    monkeypatch.setenv("CTRLORA_GEGLU_FFN", "1")
     assert geglu_ffn_ok(x, w1)
+    monkeypatch.delenv("CTRLORA_GEGLU_FFN")
+    assert not geglu_ffn_ok(x, w1)  # opt-in until validated on chip
+    monkeypatch.setenv("CTRLORA_GEGLU_FFN", "1")
     out = geglu_ffn(x, w1, b1, w2, b2)
     ref = _reference(x, w1, b1, w2, b2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
@@ -69,10 +73,11 @@ def test_row_block_budget_decisions():
     assert _pick_rows(100, 320, 1280, 2) is None
 
 
-def test_feedforward_module_uses_same_params():
+def test_feedforward_module_uses_same_params(monkeypatch):
     """The module's fused no-LoRA path must produce Dense-identical params
     (proj/kernel, proj/bias, out/kernel, out/bias) and Dense-identical
     outputs."""
+    monkeypatch.setenv("CTRLORA_GEGLU_FFN", "1")
     from ctrlora_tpu.models.attention import FeedForward
 
     ff = FeedForward(dim=64)
