@@ -45,7 +45,7 @@ LOG2E = 1.4426950408889634  # exp(x) == exp2(x * LOG2E); exp2 is the native
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk,
-                mxu_dtype, skip_max, bshd=False):
+                mxu_dtype, skip_max, bshd=False, pvt=False):
     """VPU-pass-minimized forward. The profiled cost of this kernel at SD's
     dominant [64, 4096, 40] geometry is NOT the matmuls (d=40 keeps the MXU
     at ~31% and they are cheap in bf16) but the number of full VPU passes
@@ -74,6 +74,19 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk,
     [B, S, H, D] operands) so the kernel can consume the projections'
     natural layout — the BHSD transpose otherwise costs a [8,4096,8,40]
     layout copy per operand per site (~180 ms/batch profiled 2026-08-17).
+
+    pvt (PV-transposed): at SD's head dims the PV matmul's OUTPUT dim is
+    d+1 = 41/81 lanes of the MXU's 128 — a fixed ~3x/1.6x pad waste on half
+    the kernel FLOPs (hlo_stats 2026-08-17: the 7 [64,4096,40] attn1 sites
+    are 28% of the whole scan). Computing the transposed form
+        o^T [d+1, bq] = dot(v_aug [sk, d+1], p^T [sk, bq])   (contract sk)
+    puts d+1 on the M (streaming) dim, which pads to sublanes (8) not
+    lanes (128): K = sk and N = bq are both dense, so the PV matmul runs
+    ~full MXU. The logits are produced directly in transposed form
+    (s^T = K.Q^T — same MXU cost as Q.K^T since the d-contraction pads
+    either way), the exp2 pass is the same element count, and the one
+    extra op is an in-kernel [d, bq] fp32 transpose — 1.2% of the logits
+    block's elements.
     """
     if bshd:
         q = q_ref[0, :, 0, :].astype(jnp.float32) * (scale * LOG2E)
@@ -84,6 +97,51 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk,
     q = q.astype(mxu_dtype)
     bq, d = q.shape
     num_k = sk // block_k
+
+    if pvt:
+        def body_t(i, carry):
+            acc_t, m = carry  # acc_t [d+1, bq] fp32; m [1, bq]
+            k = kv_blk(k_ref, pl.ds(i * block_k, block_k)).astype(mxu_dtype)
+            v = kv_blk(v_ref, pl.ds(i * block_k, block_k)).astype(mxu_dtype)
+            v_aug = jnp.concatenate(
+                [v, jnp.ones((block_k, 1), mxu_dtype)], axis=1
+            )
+            s_t = jax.lax.dot_general(  # [block_k, bq] = K . Q^T
+                k, q, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if skip_max:
+                m_new = m
+                p_t = jnp.exp2(jnp.minimum(s_t, 110.0)).astype(mxu_dtype)
+                acc_new = acc_t + jax.lax.dot_general(
+                    v_aug, p_t, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                m_new = jnp.maximum(m, jnp.max(s_t, axis=0, keepdims=True))
+                p_t = jnp.exp2(s_t - m_new).astype(mxu_dtype)
+                alpha = jnp.exp2(m - m_new)
+                acc_new = acc_t * alpha + jax.lax.dot_general(
+                    v_aug, p_t, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            return acc_new, m_new
+
+        acc_t = jnp.zeros((d + 1, bq), jnp.float32)
+        m0 = 0.0 if skip_max else NEG_INF
+        acc_t, m = jax.lax.fori_loop(
+            0, num_k, body_t, (acc_t, jnp.full((1, bq), m0, jnp.float32))
+        )
+        l = acc_t[d:, :]  # [1, bq]
+        if skip_max:
+            l = jnp.maximum(l, 1e-30)
+        o = jnp.transpose(acc_t[:d, :] / l).astype(o_ref.dtype)
+        if bshd:
+            o_ref[0, :, 0, :] = o
+        else:
+            o_ref[0] = o
+        lse_ref[0, 0] = ((m + jnp.log2(l)) * (1.0 / LOG2E))[0, :]
+        return
 
     def body(i, carry):
         acc, m = carry  # acc [bq, d+1] fp32: PV sums | softmax denominator
@@ -195,6 +253,17 @@ def _pick_block(size: int, preferred: int = 512, env: Optional[str] = None) -> O
     return None
 
 
+def _pvt_enabled(d: int) -> bool:
+    """PV-transposed epilogue (see _fwd_kernel docstring). Only pays when
+    the head dim under-fills the 128 MXU lanes; opt-in via
+    CTRLORA_FLASH_PVT=1 until the on-chip A/B lands (CTRLORA_FLASH_PVT=0
+    force-disables for same-session comparisons)."""
+    import os
+
+    flag = os.environ.get("CTRLORA_FLASH_PVT", "")
+    return flag not in ("", "0") and d % 128 != 0
+
+
 def _interpret() -> bool:
     from ctrlora_tpu.utils.platform import effective_platform
 
@@ -283,7 +352,8 @@ def _flash_forward(q, k, v, scale, bshd=False):
                     and not _os.environ.get("CTRLORA_FLASH_SAFEMAX"))
         kern = functools.partial(_fwd_kernel, scale=scale, block_k=block_k,
                                  sk=sk, mxu_dtype=mxu_dtype,
-                                 skip_max=skip_max, bshd=True)
+                                 skip_max=skip_max, bshd=True,
+                                 pvt=_pvt_enabled(d))
         out, lse = pl.pallas_call(
             kern,
             grid=(b, h, sq // block_q),
@@ -316,7 +386,8 @@ def _flash_forward(q, k, v, scale, bshd=False):
         skip_max = (block_k == sk
                     and not _os.environ.get("CTRLORA_FLASH_SAFEMAX"))
         kern = functools.partial(_fwd_kernel, scale=scale, block_k=block_k,
-                                 sk=sk, mxu_dtype=mxu_dtype, skip_max=skip_max)
+                                 sk=sk, mxu_dtype=mxu_dtype, skip_max=skip_max,
+                                 pvt=_pvt_enabled(d))
     g = b * h
     qf, kf, vf = (t.reshape(g, t.shape[2], d) for t in (q, k, v))
     out, lse = pl.pallas_call(

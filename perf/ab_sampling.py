@@ -104,6 +104,11 @@ def main():
         "chunk": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_BK", "512")),
         "bf16flash": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_BF16", "1")),
         "bq256": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_BQ", "256")),
+        # force a 512-row q block through the single sweep (the VMEM estimate
+        # rejects it at 15.75MB vs the 15.5MB limit; measure before trusting)
+        "bq512sweep": dict(use_fused=True, unroll=1,
+                           env=(("CTRLORA_FLASH_BQ", "512"),
+                                ("CTRLORA_FLASH_BK", "4096"))),
         # decomposition probes: per-step slope, CFG cost, CN cost, flash gain
         "nohoist": dict(use_fused=True, unroll=1, env=None, hoist=False),
         # flash kernel generations (ops/flash_attention.py): v1 = round-2
@@ -114,6 +119,16 @@ def main():
         "safemax": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_SAFEMAX", "1")),
         "ffn": dict(use_fused=True, unroll=1, env=("CTRLORA_GEGLU_FFN", "1")),
         "bshd": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_BSHD", "1")),
+        # pvt = PV-transposed flash epilogue (o^T = V_aug . P^T): puts the
+        # d+1-lane pad waste on the MXU streaming dim — see _fwd_kernel
+        "pvt": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_PVT", "1")),
+        "bshdpvt": dict(use_fused=True, unroll=1,
+                        env=(("CTRLORA_FLASH_BSHD", "1"),
+                             ("CTRLORA_FLASH_PVT", "1"))),
+        "all3": dict(use_fused=True, unroll=1,
+                     env=(("CTRLORA_FLASH_BSHD", "1"),
+                          ("CTRLORA_FLASH_PVT", "1"),
+                          ("CTRLORA_GEGLU_FFN", "1"))),
         "steps10": dict(use_fused=True, unroll=1, env=None, n_steps=10),
         "nocfg": dict(use_fused=True, unroll=1, env=None, guidance=1.0),
         "nocontrol": dict(use_fused=True, unroll=1, env=None, control=False),
@@ -121,11 +136,16 @@ def main():
     }
     names = [v for v in args.variants.split(",") if v in specs]
 
+    def _env_pairs(env):
+        if not env:
+            return ()
+        return env if isinstance(env[0], tuple) else (env,)
+
     compiled = {}
     for name in names:
         s = specs[name]
-        if s["env"]:
-            os.environ[s["env"][0]] = s["env"][1]
+        for k, v in _env_pairs(s["env"]):
+            os.environ[k] = v
         try:
             t0 = time.perf_counter()
             fn = make_sample(
@@ -136,8 +156,8 @@ def main():
             c = jax.jit(fn).lower(params, fused, hint, ids, rng).compile()
             print(f"[{name}] compiled in {time.perf_counter()-t0:.0f}s", flush=True)
         finally:
-            if s["env"]:
-                os.environ.pop(s["env"][0], None)
+            for k, _ in _env_pairs(s["env"]):
+                os.environ.pop(k, None)
         # warm + 2 solo reps right away (partial results if the run dies)
         np.asarray(c(params, fused, hint, ids, rng))
         solo = []

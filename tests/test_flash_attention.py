@@ -198,3 +198,59 @@ def test_cross_attention_module_bshd_matches_default(monkeypatch):
     monkeypatch.setenv("CTRLORA_FLASH_BSHD", "1")
     out = mod.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_forward_pvt_matches_xla(monkeypatch):
+    """PV-transposed epilogue (CTRLORA_FLASH_PVT=1): logits computed as
+    K.Q^T, PV as dot(V_aug, P^T) — must match the XLA reference on both the
+    single-sweep (skip-max) and chunked (max-guarded) paths."""
+    monkeypatch.setenv("CTRLORA_FLASH_PVT", "1")
+    for sk in (256, 1024):  # 256 single-sweeps; 1024 exercises chunking
+        monkeypatch.setenv("CTRLORA_FLASH_BK", "256" if sk == 1024 else "")
+        b, h, sq, d = 1, 2, 256, 40
+        ks = jax.random.split(jax.random.PRNGKey(9), 3)
+        q = jax.random.normal(ks[0], (b, h, sq, d))
+        k = jax.random.normal(ks[1], (b, h, sk, d))
+        v = jax.random.normal(ks[2], (b, h, sk, d))
+        out = flash_attention(q, k, v)
+        ref = xla_attention(q, k, v, d**-0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_forward_pvt_bshd_matches_xla(monkeypatch):
+    from ctrlora_tpu.ops.flash_attention import _flash_attention_bshd
+
+    monkeypatch.setenv("CTRLORA_FLASH_PVT", "1")
+    b, sq, h, d, sk = 2, 256, 3, 40, 512
+    ks = jax.random.split(jax.random.PRNGKey(10), 3)
+    q = jax.random.normal(ks[0], (b, sq, h, d))
+    k = jax.random.normal(ks[1], (b, sk, h, d))
+    v = jax.random.normal(ks[2], (b, sk, h, d))
+    out = _flash_attention_bshd(q, k, v, d**-0.5)
+    tr = lambda t: t.transpose(0, 2, 1, 3)
+    ref = tr(xla_attention(tr(q), tr(k), tr(v), d**-0.5))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_pvt_gradient_matches_xla(monkeypatch):
+    """custom_vjp backward is PVT-independent, but the forward residuals
+    (out, lse) feed it — grads must still match with PVT on."""
+    monkeypatch.setenv("CTRLORA_FLASH_PVT", "1")
+    b, h, sq, d, sk = 1, 2, 256, 32, 256
+    ks = jax.random.split(jax.random.PRNGKey(11), 4)
+    q = jax.random.normal(ks[0], (b, h, sq, d))
+    k = jax.random.normal(ks[1], (b, h, sk, d))
+    v = jax.random.normal(ks[2], (b, h, sk, d))
+    ct = jax.random.normal(ks[3], (b, h, sq, d))
+    gf = jax.grad(
+        lambda q, k, v: jnp.sum(flash_attention(q, k, v) * ct), argnums=(0, 1, 2)
+    )(q, k, v)
+    gr = jax.grad(
+        lambda q, k, v: jnp.sum(xla_attention(q, k, v, d**-0.5) * ct),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-5, rtol=1e-3)
