@@ -416,7 +416,7 @@ def _flash_forward(q, k, v, scale, bshd=False):
 # ---------------------------------------------------------------------------
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                   *, scale, block_k, sk):
+                   *, scale, block_k, sk, pvt=False):
     q = q_ref[0].astype(jnp.float32)
     q2 = q * (scale * LOG2E)  # exp2-domain logits operand
     do = do_ref[0].astype(jnp.float32)
@@ -436,16 +436,28 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = p * (dp - delta)
+        if pvt:
+            # dq^T [d, bq] = K^T dS^T: d rides the M (streaming) dim, so the
+            # output pad is sublane-granular (8) instead of lane (128) — see
+            # the forward's pvt note
+            return dq + jax.lax.dot_general(
+                k, ds, (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         return dq + jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    dq = jax.lax.fori_loop(0, num_k, body, jnp.zeros((bq, d), jnp.float32))
-    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+    if pvt:
+        dq_t = jax.lax.fori_loop(0, num_k, body, jnp.zeros((d, bq), jnp.float32))
+        dq_ref[0] = (jnp.transpose(dq_t) * scale).astype(dq_ref.dtype)
+    else:
+        dq = jax.lax.fori_loop(0, num_k, body, jnp.zeros((bq, d), jnp.float32))
+        dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, *, scale, block_q, sq):
+                    dk_ref, dv_ref, *, scale, block_q, sq, pvt=False):
     k = k_ref[0].astype(jnp.float32)  # [bk, D]
     k2 = k * (scale * LOG2E)  # exp2-domain logits operand
     v = v_ref[0].astype(jnp.float32)
@@ -462,21 +474,38 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             q, k2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [bq, bk], exp2 domain
         p = jnp.exp2(s - lse2)
-        dv = dv + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = p * (dp - delta)  # [bq, bk]
-        dk = dk + jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        if pvt:
+            # transposed accumulators [d, bk]: d on the streaming dim (see
+            # the forward's pvt note) — dense N = bk on both matmuls
+            dv = dv + jax.lax.dot_general(
+                do, p, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk = dk + jax.lax.dot_general(
+                q, ds, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            dv = dv + jax.lax.dot_general(
+                p, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk = dk + jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         return dk, dv
 
-    dk = jnp.zeros((bk, d), jnp.float32)
-    dv = jnp.zeros((bk, d), jnp.float32)
+    shape = (d, bk) if pvt else (bk, d)
+    dk = jnp.zeros(shape, jnp.float32)
+    dv = jnp.zeros(shape, jnp.float32)
     dk, dv = jax.lax.fori_loop(0, num_q, body, (dk, dv))
+    if pvt:
+        dk, dv = jnp.transpose(dk), jnp.transpose(dv)
     dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
@@ -492,8 +521,10 @@ def _flash_backward(scale, res, g):
     lsef = lse.reshape(gb, 1, sq)
     delta = jnp.sum(of.astype(jnp.float32) * gf.astype(jnp.float32), axis=-1)[:, None, :]
 
+    pvt = _pvt_enabled(d)
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k, sk=sk),
+        functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k, sk=sk,
+                          pvt=pvt),
         grid=(gb, sq // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
@@ -509,7 +540,8 @@ def _flash_backward(scale, res, g):
     )(qf, kf, vf, gf, lsef, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, block_q=block_q, sq=sq),
+        functools.partial(_bwd_dkv_kernel, scale=scale, block_q=block_q, sq=sq,
+                          pvt=pvt),
         grid=(gb, sk // block_k),
         in_specs=[
             pl.BlockSpec((1, sq, d), lambda i, j: (i, 0, 0)),
