@@ -54,10 +54,14 @@ def time_attn(attn, q, k, v, reps=50):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--reps", type=int, default=50)
+    p.add_argument("--only", default="", help="comma list of variant-label substrings")
+    p.add_argument("--shapes", default="", help="substring filter on shape names")
     args = p.parse_args()
 
     rng = np.random.default_rng(0)
     for name, (b, h, sq, sk, d) in SHAPES:
+        if args.shapes and args.shapes not in name:
+            continue
         q = jnp.asarray(rng.standard_normal((b, h, sq, d)), jnp.bfloat16)
         k = jnp.asarray(rng.standard_normal((b, h, sk, d)), jnp.bfloat16)
         v = jnp.asarray(rng.standard_normal((b, h, sk, d)), jnp.bfloat16)
@@ -66,16 +70,24 @@ def main():
         rows = []
         KNOBS = ("CTRLORA_FLASH_BF16", "CTRLORA_NO_FLASH", "CTRLORA_FLASH_V1",
                  "CTRLORA_FLASH_SAFEMAX", "CTRLORA_FLASH_FP32MM",
-                 "CTRLORA_FLASH_BQ", "CTRLORA_FLASH_BK")
+                 "CTRLORA_FLASH_BQ", "CTRLORA_FLASH_BK", "CTRLORA_FLASH_PVT")
         for label, env in [
             ("v1 fp32-ops", {"CTRLORA_FLASH_V1": "1"}),
             ("v2 default", {}),
+            ("v2 pvt", {"CTRLORA_FLASH_PVT": "1"}),
+            ("v2 pvt bq512", {"CTRLORA_FLASH_PVT": "1",
+                              "CTRLORA_FLASH_BQ": "512",
+                              "CTRLORA_FLASH_BK": str(sk)}),
             ("v2 fp32-mxu", {"CTRLORA_FLASH_FP32MM": "1"}),
             ("v2 safemax", {"CTRLORA_FLASH_SAFEMAX": "1"}),
             ("v2 bq512-chunk", {"CTRLORA_FLASH_BQ": "512",
                                 "CTRLORA_FLASH_BK": "512"}),
             ("xla fp32-softmax", {"CTRLORA_NO_FLASH": "1"}),
         ]:
+            if args.only and not any(
+                s.strip() and s.strip() in label for s in args.only.split(",")
+            ):
+                continue
             old = {kk: os.environ.get(kk) for kk in KNOBS}
             for kk in KNOBS:
                 os.environ.pop(kk, None)
