@@ -142,6 +142,7 @@ def main():
         return env if isinstance(env[0], tuple) else (env,)
 
     compiled = {}
+    checksums = {}
     for name in names:
         s = specs[name]
         for k, v in _env_pairs(s["env"]):
@@ -159,7 +160,16 @@ def main():
             for k, _ in _env_pairs(s["env"]):
                 os.environ.pop(k, None)
         # warm + 2 solo reps right away (partial results if the run dies)
-        np.asarray(c(params, fused, hint, ids, rng))
+        warm = np.asarray(c(params, fused, hint, ids, rng))
+        checksums[name] = warm
+        base_ck = checksums.get(names[0])
+        if base_ck is not None and name != names[0]:
+            # same rng + same math => per-image means should agree closely;
+            # a large delta means the variant changed the numerics, not
+            # just the schedule
+            print(f"[{name}] checksum {warm.round(5).tolist()} "
+                  f"(max|Δ| vs {names[0]}: {np.abs(warm - base_ck).max():.2e})",
+                  flush=True)
         solo = []
         for i in range(2):
             t0 = time.perf_counter()
