@@ -163,12 +163,12 @@ class FeedForward(nn.Module):
             # it back HBM-bound at ~1/3 of peak bandwidth). Same param names
             # as the Dense path, so checkpoints and the fused-LoRA trees are
             # unaffected.
-            from ctrlora_tpu.ops.geglu_ffn import geglu_ffn, geglu_ffn_ok
+            from ctrlora_tpu.ops.geglu_ffn import geglu_ffn, geglu_shapes_ok
 
             w1, b1 = _KernelBias(inner * 2, name="proj")(x.shape[-1])
             w2, b2 = _KernelBias(self.dim, name="out")(inner)
             xc = x.astype(self.dtype)
-            if geglu_ffn_ok(xc, w1):
+            if geglu_shapes_ok(xc, w1, b1, w2, b2):
                 return geglu_ffn(xc, w1, b1, w2, b2)
             h = jnp.dot(xc, w1.astype(self.dtype)) + b1.astype(self.dtype)
             h, gate = jnp.split(h, 2, axis=-1)

@@ -265,9 +265,9 @@ def _pvt_enabled(d: int) -> bool:
 
 
 def _interpret() -> bool:
-    from ctrlora_tpu.utils.platform import effective_platform
+    from ctrlora_tpu.utils.platform import pallas_interpret
 
-    return effective_platform() == "cpu"
+    return pallas_interpret()
 
 
 def _mxu_dtype(q) -> jnp.dtype:
@@ -287,8 +287,8 @@ def _single_sweep_vmem(block_q: int, sk: int, d: int, itemsize: int,
     [block_q, sk] fp32 logits + the cast p block at MXU width, the K/V
     input refs at their true itemsize, the in-kernel mxu-dtype K/V copies
     when the cast is not a no-op, and the q/acc/out blocks. The lane dim
-    pads to 128."""
-    dpad = max(d, 128)
+    pads to the next multiple of 128 (d=160 pads to 256, not 160)."""
+    dpad = ((d + 127) // 128) * 128
     est = 4 * block_q * sk  # logits block (fp32)
     est += mxu_itemsize * block_q * sk  # p = exp2(s).astype(mxu) block
     est += 2 * itemsize * sk * dpad  # K/V refs
@@ -620,12 +620,9 @@ _flash_attention_bshd.defvjp(_flash_bshd_fwd, _flash_bshd_bwd)
 
 
 def _on_tpu() -> bool:
-    try:
-        from ctrlora_tpu.utils.platform import effective_platform
+    from ctrlora_tpu.utils.platform import on_accelerator
 
-        return effective_platform() != "cpu" and pltpu is not None
-    except Exception:  # pragma: no cover
-        return False
+    return on_accelerator() and pltpu is not None
 
 
 def flash_attention(q, k, v, scale=None):

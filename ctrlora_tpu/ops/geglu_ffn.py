@@ -120,10 +120,23 @@ def geglu_ffn_ok(x: jnp.ndarray, w1: jnp.ndarray) -> bool:
     )
 
 
-def _interpret() -> bool:
-    from ctrlora_tpu.utils.platform import effective_platform
+def geglu_shapes_ok(x, w1, b1, w2, b2) -> bool:
+    """Full-signature check: the kernel hard-codes out width = x width, so
+    a w2 wider than C would be silently truncated without this guard."""
+    c, f2 = w1.shape
+    f = f2 // 2
+    return (
+        geglu_ffn_ok(x, w1)
+        and b1.shape == (2 * f,)
+        and w2.shape == (f, c)
+        and b2.shape == (c,)
+    )
 
-    return effective_platform() == "cpu"
+
+def _interpret() -> bool:
+    from ctrlora_tpu.utils.platform import pallas_interpret
+
+    return pallas_interpret()
 
 
 def _forward(x, w1, b1, w2, b2):

@@ -67,12 +67,9 @@ def _pick_hw_block(hw: int, c: int) -> Optional[int]:
 
 
 def _on_tpu() -> bool:
-    try:
-        from ctrlora_tpu.utils.platform import effective_platform
+    from ctrlora_tpu.utils.platform import on_accelerator
 
-        return effective_platform() != "cpu"
-    except Exception:  # pragma: no cover
-        return False
+    return on_accelerator()
 
 
 def fused_group_norm(

@@ -35,12 +35,9 @@ def _unpack_kernel(vec_ref, *out_refs, sizes: Tuple[int, ...]):
 
 
 def _on_tpu() -> bool:
-    try:
-        from ctrlora_tpu.utils.platform import effective_platform
+    from ctrlora_tpu.utils.platform import on_accelerator
 
-        return effective_platform() != "cpu"
-    except Exception:  # pragma: no cover
-        return False
+    return on_accelerator()
 
 
 def unpack_rows(

@@ -49,6 +49,10 @@ class DDIMConfig:
     # cost ~23 ms/step on TPU (perf/step_glue.py). No effect on results.
     hoist_time_embed: bool = True
 
+    def __post_init__(self):
+        if self.scan_unroll < 1:
+            raise ValueError(f"scan_unroll must be >= 1, got {self.scan_unroll}")
+
 
 def ddim_sample(
     pipe: CtrLoraPipeline,

@@ -108,9 +108,12 @@ def dpm_solver_sample(
 
     # per-step effective order: warm-up ramp 1..order, then `order`, then
     # (lower_order_final) step down to 1 on the final steps — mirrors the
-    # reference's multistep loop bookkeeping
+    # reference's multistep loop bookkeeping, including its steps<15 guard
+    # (ldm/models/diffusion/dpm_solver/dpm_solver.py:1062 applies
+    # lower_order_final only for short runs; at steps >= 15 the final steps
+    # keep full order)
     ords = np.minimum(np.arange(n_steps) + 1, order)
-    if lower_order_final:
+    if lower_order_final and n_steps < 15:
         ords = np.minimum(ords, n_steps - np.arange(n_steps))
     ord_seq = jnp.asarray(ords, jnp.int32)
 

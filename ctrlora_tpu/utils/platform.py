@@ -53,3 +53,19 @@ def effective_platform() -> str:
         if p:
             return p
     return jax.default_backend()
+
+
+def on_accelerator() -> bool:
+    """True when new computations land on a non-CPU backend. Shared by the
+    Pallas ops to decide compiled-vs-interpret mode (each had a private
+    copy of this check before; one helper keeps the platform logic in one
+    place)."""
+    try:
+        return effective_platform() != "cpu"
+    except Exception:  # pragma: no cover — backend probing must never raise
+        return False
+
+
+def pallas_interpret() -> bool:
+    """Interpret-mode flag for pl.pallas_call: True off-accelerator."""
+    return not on_accelerator()

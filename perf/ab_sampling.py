@@ -102,7 +102,11 @@ def main():
         "nofuse": dict(use_fused=False, unroll=1, env=None),
         "unroll2": dict(use_fused=True, unroll=2, env=None),
         "chunk": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_BK", "512")),
-        "bf16flash": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_BF16", "1")),
+        # BF16 is only read by the retained v1 kernel — alone it's a no-op
+        # (the 11:15 ledger entry's 'bf16flash' measured the default config)
+        "v1bf16": dict(use_fused=True, unroll=1,
+                       env=(("CTRLORA_FLASH_V1", "1"),
+                            ("CTRLORA_FLASH_BF16", "1"))),
         "bq256": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_BQ", "256")),
         # force a 512-row q block through the single sweep (the VMEM estimate
         # rejects it at 15.75MB vs the 15.5MB limit; measure before trusting)

@@ -70,8 +70,11 @@ def main():
         from ctrlora_tpu.configs import LoRAConfig, load_model_config
 
         cfg = load_model_config(args.config)
-        if cfg.control is not None and cfg.control.lora.n_loras != len(args.tasks):
-            # one stacked LoRA bank per task
+        # --tasks is the source of truth for the slot->task mapping (dataset
+        # i trains LoRA bank i, and tool_extract_weights names per-slot
+        # checkpoints from cfg.tasks) — always sync it, even when the YAML's
+        # n_loras already matches, so preset task names can't leak through
+        if cfg.control is not None:
             cfg = _dc.replace(
                 cfg,
                 control=_dc.replace(
