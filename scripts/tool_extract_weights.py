@@ -83,6 +83,12 @@ def main():
     p.add_argument("--config", type=str, default=None)
     p.add_argument("--lora_rank", type=int, default=128)
     p.add_argument("--slot", type=int, default=0)
+    p.add_argument(
+        "--tasks", type=str, nargs="+", default=None,
+        help="slot->task names for --from_base output files; overrides the "
+             "config's tasks (pass the same list given to "
+             "train_ctrlora_pretrain.py --tasks)",
+    )
     args = p.parse_args()
 
     import torch
@@ -100,7 +106,11 @@ def main():
         save(bridge.export_control_base(control, cfg.control), args.save_path)
     elif args.from_base:
         os.makedirs(args.save_path, exist_ok=True)
-        tasks = cfg.tasks or [f"slot{i}" for i in range(cfg.control.lora.n_loras)]
+        tasks = (args.tasks or cfg.tasks
+                 or [f"slot{i}" for i in range(cfg.control.lora.n_loras)])
+        assert len(tasks) == cfg.control.lora.n_loras, (
+            f"{len(tasks)} task names for {cfg.control.lora.n_loras} LoRA slots"
+        )
         for slot, task in enumerate(tasks):
             d = bridge.export_lora_slot(control, cfg.control, slot=slot)
             save(d, os.path.join(args.save_path, f"{task}.ckpt"))

@@ -171,6 +171,10 @@ def test_pretrain_extract_sample_cycle(multigen_dir, dataset_dir, tmp_path):
     pretraining (scripts/train_ctrlora_pretrain.py:50-108), per-task LoRA
     extraction (tool_extract_weights.py:55-66), then sampling with one
     extracted LoRA."""
+    # the YAML deliberately carries STALE task names at a matching n_loras:
+    # --tasks is the slot->task source of truth and must override them even
+    # when no n_loras resize happens (regression: extraction previously
+    # wrote the depth-trained LoRA under the YAML's leftover name)
     cfg_yaml = str(tmp_path / "tiny_pretrain.yaml")
     with open(cfg_yaml, "w") as f:
         f.write(
@@ -178,7 +182,7 @@ def test_pretrain_extract_sample_cycle(multigen_dir, dataset_dir, tmp_path):
             "model:\n"
             "  control:\n"
             "    lora: {n_loras: 2}\n"
-            "  tasks: [hed, canny]\n"
+            "  tasks: [depth, seg]\n"
         )
 
     workdir = str(tmp_path / "run")
@@ -204,6 +208,7 @@ def test_pretrain_extract_sample_cycle(multigen_dir, dataset_dir, tmp_path):
     run([
         "scripts/tool_extract_weights.py", "-t", "lora", "--from_base",
         "--ckpt", ckpt, "--save_path", lora_dir, "--config", cfg_yaml,
+        "--tasks", "hed", "canny",
     ])
     assert sorted(os.listdir(lora_dir)) == ["canny.ckpt", "hed.ckpt"]
 
