@@ -195,46 +195,6 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk,
     lse_ref[0, 0] = ((m + jnp.log2(l)) * (1.0 / LOG2E))[:, 0]
 
 
-def _fwd_kernel_v1(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk,
-                   bf16_ops):
-    """Round-2 forward (CTRLORA_FLASH_V1=1), kept for same-session A/Bs
-    against the pass-minimized kernel above; delete once the ledger has the
-    comparison. fp32 MXU operands by default, separate VPU sum pass."""
-    if bf16_ops:
-        q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(jnp.bfloat16)
-    else:
-        q = q_ref[0].astype(jnp.float32) * (scale * LOG2E)  # [bq, D]
-    bq, d = q.shape
-    num_k = sk // block_k
-
-    def body(i, carry):
-        acc, m, l = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :]
-        v = v_ref[0, pl.ds(i * block_k, block_k), :]
-        if not bf16_ops:
-            k = k.astype(jnp.float32)
-            v = v.astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp2(s - m_new)
-        alpha = jnp.exp2(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        pv = p.astype(v.dtype) if bf16_ops else p
-        acc_new = acc * alpha + jax.lax.dot_general(
-            pv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return acc_new, m_new, l_new
-
-    acc = jnp.zeros((bq, d), jnp.float32)
-    m = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l = jnp.zeros((bq, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc, m, l))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0, 0] = ((m + jnp.log2(l)) * (1.0 / LOG2E))[:, 0]
-
-
 def _pick_block(size: int, preferred: int = 512, env: Optional[str] = None) -> Optional[int]:
     import os
 
@@ -373,21 +333,17 @@ def _flash_forward(q, k, v, scale, bshd=False):
             interpret=_interpret(),
         )(q, k, v)
         return out, lse.reshape(b, h, sq)
-    if _os.environ.get("CTRLORA_FLASH_V1"):
-        bf16_ops = (q.dtype == jnp.bfloat16
-                    and bool(_os.environ.get("CTRLORA_FLASH_BF16")))
-        kern = functools.partial(_fwd_kernel_v1, scale=scale,
-                                 block_k=block_k, sk=sk, bf16_ops=bf16_ops)
-    else:
-        # the max-subtraction is an overflow guard (softmax is shift-
-        # invariant); the single-sweep default replaces it with a clamped
-        # exp2 (fused, no extra pass — 2.5% end-to-end on the ledger A/B).
-        # CTRLORA_FLASH_SAFEMAX=1 restores the exact per-row guard.
-        skip_max = (block_k == sk
-                    and not _os.environ.get("CTRLORA_FLASH_SAFEMAX"))
-        kern = functools.partial(_fwd_kernel, scale=scale, block_k=block_k,
-                                 sk=sk, mxu_dtype=mxu_dtype, skip_max=skip_max,
-                                 pvt=_pvt_enabled(d))
+    # the max-subtraction is an overflow guard (softmax is shift-
+    # invariant); the single-sweep default replaces it with a clamped
+    # exp2 (fused, no extra pass — 2.5% end-to-end on the ledger A/B).
+    # CTRLORA_FLASH_SAFEMAX=1 restores the exact per-row guard. (The
+    # round-2 kernel generation was retired after the 2026-08-17 18:24
+    # ledger A/B: flashv1 4.78 s/batch vs default 4.66.)
+    skip_max = (block_k == sk
+                and not _os.environ.get("CTRLORA_FLASH_SAFEMAX"))
+    kern = functools.partial(_fwd_kernel, scale=scale, block_k=block_k,
+                             sk=sk, mxu_dtype=mxu_dtype, skip_max=skip_max,
+                             pvt=_pvt_enabled(d))
     g = b * h
     qf, kf, vf = (t.reshape(g, t.shape[2], d) for t in (q, k, v))
     out, lse = pl.pallas_call(

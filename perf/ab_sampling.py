@@ -102,11 +102,6 @@ def main():
         "nofuse": dict(use_fused=False, unroll=1, env=None),
         "unroll2": dict(use_fused=True, unroll=2, env=None),
         "chunk": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_BK", "512")),
-        # BF16 is only read by the retained v1 kernel — alone it's a no-op
-        # (the 11:15 ledger entry's 'bf16flash' measured the default config)
-        "v1bf16": dict(use_fused=True, unroll=1,
-                       env=(("CTRLORA_FLASH_V1", "1"),
-                            ("CTRLORA_FLASH_BF16", "1"))),
         "bq256": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_BQ", "256")),
         # force a 512-row q block through the single sweep (the VMEM estimate
         # rejects it at 15.75MB vs the 15.5MB limit; measure before trusting)
@@ -115,11 +110,8 @@ def main():
                                 ("CTRLORA_FLASH_BK", "4096"))),
         # decomposition probes: per-step slope, CFG cost, CN cost, flash gain
         "nohoist": dict(use_fused=True, unroll=1, env=None, hoist=False),
-        # flash kernel generations (ops/flash_attention.py): v1 = round-2
-        # kernel (fp32 MXU operands, separate sum pass); default = v2
-        # (bf16 MXU, ones-augmented PV, fused clamped exp2+cast); safemax =
-        # v2 with the exact per-row max guard instead of the clamp
-        "flashv1": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_V1", "1")),
+        # default flash = v2 (bf16 MXU, ones-augmented PV, fused clamped
+        # exp2+cast); safemax = exact per-row max guard instead of the clamp
         "safemax": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_SAFEMAX", "1")),
         "ffn": dict(use_fused=True, unroll=1, env=("CTRLORA_GEGLU_FFN", "1")),
         "bshd": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_BSHD", "1")),

@@ -18,13 +18,13 @@ import numpy as np
 REPS = 30
 
 
-def time_one(bq, bk, bf16):
+def time_one(bq, bk, pvt=False):
     os.environ["CTRLORA_FLASH_BQ"] = str(bq)
     os.environ["CTRLORA_FLASH_BK"] = str(bk)
-    if bf16:
-        os.environ["CTRLORA_FLASH_BF16"] = "1"
+    if pvt:
+        os.environ["CTRLORA_FLASH_PVT"] = "1"
     else:
-        os.environ.pop("CTRLORA_FLASH_BF16", None)
+        os.environ.pop("CTRLORA_FLASH_PVT", None)
     from ctrlora_tpu.ops.flash_attention import dot_product_attention
 
     rng = np.random.default_rng(0)
@@ -43,17 +43,17 @@ def time_one(bq, bk, bf16):
     try:
         np.asarray(j(q, k, v))
     except Exception as e:
-        print(f"  bq={bq:5d} bk={bk:5d} bf16={int(bf16)}   FAILED: {type(e).__name__}")
+        print(f"  bq={bq:5d} bk={bk:5d} pvt={int(pvt)}   FAILED: {type(e).__name__}")
         return
     t0 = time.perf_counter()
     np.asarray(j(q, k, v))
     dt = (time.perf_counter() - t0) / REPS
-    print(f"  bq={bq:5d} bk={bk:5d} bf16={int(bf16)}  {dt*1e3:8.3f} ms", flush=True)
+    print(f"  bq={bq:5d} bk={bk:5d} pvt={int(pvt)}  {dt*1e3:8.3f} ms", flush=True)
 
 
 def main():
     print("[8,8,4096,40] flash forward, block sweep:")
-    for bq, bk, bf16 in [
+    for bq, bk, pvt in [
         (512, 4096, False),
         (256, 4096, False),
         (128, 4096, False),
@@ -61,7 +61,7 @@ def main():
         (1024, 2048, False),
         (512, 4096, True),
     ]:
-        time_one(bq, bk, bf16)
+        time_one(bq, bk, pvt)
 
 
 if __name__ == "__main__":

@@ -68,11 +68,10 @@ def main():
         flops = 2 * 2 * b * h * sq * sk * d  # QK^T + PV, MAC = 2 FLOPs
 
         rows = []
-        KNOBS = ("CTRLORA_FLASH_BF16", "CTRLORA_NO_FLASH", "CTRLORA_FLASH_V1",
-                 "CTRLORA_FLASH_SAFEMAX", "CTRLORA_FLASH_FP32MM",
-                 "CTRLORA_FLASH_BQ", "CTRLORA_FLASH_BK", "CTRLORA_FLASH_PVT")
+        KNOBS = ("CTRLORA_NO_FLASH", "CTRLORA_FLASH_SAFEMAX",
+                 "CTRLORA_FLASH_FP32MM", "CTRLORA_FLASH_BQ",
+                 "CTRLORA_FLASH_BK", "CTRLORA_FLASH_PVT")
         for label, env in [
-            ("v1 fp32-ops", {"CTRLORA_FLASH_V1": "1"}),
             ("v2 default", {}),
             ("v2 pvt", {"CTRLORA_FLASH_PVT": "1"}),
             ("v2 pvt bq512", {"CTRLORA_FLASH_PVT": "1",

@@ -131,20 +131,6 @@ def test_forward_huge_logits_stay_finite():
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_forward_v1_kernel_matches(monkeypatch):
-    """The retained round-2 kernel (CTRLORA_FLASH_V1, A/B baseline) still
-    matches the reference."""
-    monkeypatch.setenv("CTRLORA_FLASH_V1", "1")
-    b, h, sq, d, sk = 1, 2, 256, 40, 256
-    ks = jax.random.split(jax.random.PRNGKey(5), 3)
-    q = jax.random.normal(ks[0], (b, h, sq, d))
-    k = jax.random.normal(ks[1], (b, h, sk, d))
-    v = jax.random.normal(ks[2], (b, h, sk, d))
-    out = flash_attention(q, k, v)
-    ref = xla_attention(q, k, v, d**-0.5)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
-
-
 def test_forward_bshd_matches_xla():
     """BSHD entry (natural projection layout, no BHSD transpose) must match
     the XLA reference; exercises the singleton-head-dim BlockSpec indexing
