@@ -50,6 +50,19 @@ def _dynamic_threshold(x0: jnp.ndarray, ratio: float, max_val: float) -> jnp.nda
     return jnp.clip(x0, -s, s) / s
 
 
+def order_schedule(n_steps: int, order: int, lower_order_final: bool = True):
+    """Per-step effective solver order: warm-up ramp 1..order, then `order`,
+    then (lower_order_final) step down on the final steps — mirrors the
+    reference's multistep loop bookkeeping INCLUDING its short-run guard
+    (ldm/models/diffusion/dpm_solver/dpm_solver.py:1062: `if
+    lower_order_final and steps < 15: step_order = min(order, steps+1-step)`;
+    at steps >= 15 the final steps keep full order)."""
+    ords = np.minimum(np.arange(n_steps) + 1, order)
+    if lower_order_final and n_steps < 15:
+        ords = np.minimum(ords, n_steps - np.arange(n_steps))
+    return ords
+
+
 def dpm_solver_sample(
     pipe: CtrLoraPipeline,
     params: Params,
@@ -106,16 +119,9 @@ def dpm_solver_sample(
     a_nxt = jnp.asarray(alpha[1:], jnp.float32)
     h_seq = jnp.asarray(lam[1:] - lam[:-1], jnp.float32)  # > 0
 
-    # per-step effective order: warm-up ramp 1..order, then `order`, then
-    # (lower_order_final) step down to 1 on the final steps — mirrors the
-    # reference's multistep loop bookkeeping, including its steps<15 guard
-    # (ldm/models/diffusion/dpm_solver/dpm_solver.py:1062 applies
-    # lower_order_final only for short runs; at steps >= 15 the final steps
-    # keep full order)
-    ords = np.minimum(np.arange(n_steps) + 1, order)
-    if lower_order_final and n_steps < 15:
-        ords = np.minimum(ords, n_steps - np.arange(n_steps))
-    ord_seq = jnp.asarray(ords, jnp.int32)
+    ord_seq = jnp.asarray(
+        order_schedule(n_steps, order, lower_order_final), jnp.int32
+    )
 
     v_param = pipe.cfg.diffusion.parameterization == "v"
 

@@ -226,3 +226,34 @@ def test_dpm_solver_dynamic_thresholding_bounds_x0():
     )
     assert float(jnp.abs(z_thr).max()) <= 1.5
     assert float(jnp.abs(z_raw).max()) > 5.0
+
+
+def test_dpm_order_schedule_matches_reference_loop():
+    """Per-step order bookkeeping vs an independent transcription of the
+    reference multistep loop (dpm_solver.py:1053-1066): warm-up ramp by
+    model_prev_list growth, then `if lower_order_final and steps < 15:
+    step_order = min(order, steps + 1 - step)` else full order."""
+    from ctrlora_tpu.sampling.dpm_solver import order_schedule
+
+    def reference_orders(steps, order, lower_order_final=True):
+        # steps+1 nodes -> `steps` updates; update i uses min(i+1, order)
+        # during warm-up (init loop), then the guarded step_order
+        out = []
+        for i in range(steps):
+            warm = min(i + 1, order)
+            if warm < order:
+                out.append(warm)
+                continue
+            step = i + 1  # reference's `step` in range(order, steps+1)
+            if lower_order_final and steps < 15:
+                out.append(min(order, steps + 1 - step))
+            else:
+                out.append(order)
+        return out
+
+    for steps in (4, 8, 14, 15, 20, 50):
+        for order in (1, 2, 3):
+            for lof in (True, False):
+                got = list(order_schedule(steps, order, lof))
+                want = reference_orders(steps, order, lof)
+                assert got == want, (steps, order, lof, got, want)
