@@ -45,7 +45,7 @@ LOG2E = 1.4426950408889634  # exp(x) == exp2(x * LOG2E); exp2 is the native
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk,
-                mxu_dtype, skip_max, bshd=False, pvt=False):
+                mxu_dtype, skip_max, pvt=False):
     """VPU-pass-minimized forward. The profiled cost of this kernel at SD's
     dominant [64, 4096, 40] geometry is NOT the matmuls (d=40 keeps the MXU
     at ~31% and they are cheap in bf16) but the number of full VPU passes
@@ -70,11 +70,6 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk,
     127/LOG2E ~= 88 in natural units vs SD's observed |logits| < ~30.
     Skipping it removes the remaining reduce pass.
 
-    bshd: refs carry a singleton head dim ([1, s, 1, d] blocks sliced from
-    [B, S, H, D] operands) so the kernel can consume the projections'
-    natural layout — the BHSD transpose otherwise costs a [8,4096,8,40]
-    layout copy per operand per site (~180 ms/batch profiled 2026-08-17).
-
     pvt (PV-transposed): at SD's head dims the PV matmul's OUTPUT dim is
     d+1 = 41/81 lanes of the MXU's 128 — a fixed ~3x/1.6x pad waste on half
     the kernel FLOPs (hlo_stats 2026-08-17: the 7 [64,4096,40] attn1 sites
@@ -88,12 +83,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk,
     extra op is an in-kernel [d, bq] fp32 transpose — 1.2% of the logits
     block's elements.
     """
-    if bshd:
-        q = q_ref[0, :, 0, :].astype(jnp.float32) * (scale * LOG2E)
-        kv_blk = lambda ref, sl: ref[0, sl, 0, :]
-    else:
-        q = q_ref[0].astype(jnp.float32) * (scale * LOG2E)  # [bq, D]
-        kv_blk = lambda ref, sl: ref[0, sl, :]
+    q = q_ref[0].astype(jnp.float32) * (scale * LOG2E)  # [bq, D]
+    kv_blk = lambda ref, sl: ref[0, sl, :]
     q = q.astype(mxu_dtype)
     bq, d = q.shape
     num_k = sk // block_k
@@ -135,11 +126,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk,
         l = acc_t[d:, :]  # [1, bq]
         if skip_max:
             l = jnp.maximum(l, 1e-30)
-        o = jnp.transpose(acc_t[:d, :] / l).astype(o_ref.dtype)
-        if bshd:
-            o_ref[0, :, 0, :] = o
-        else:
-            o_ref[0] = o
+        o_ref[0] = jnp.transpose(acc_t[:d, :] / l).astype(o_ref.dtype)
         lse_ref[0, 0] = ((m + jnp.log2(l)) * (1.0 / LOG2E))[0, :]
         return
 
@@ -185,14 +172,90 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk,
         # graceful degradation if every logit in a row underflowed exp2
         # (all-natural-logits < ~-87, pathological): emit 0, not NaN
         l = jnp.maximum(l, 1e-30)
-    o = (acc[:, :d] / l).astype(o_ref.dtype)
-    if bshd:
-        o_ref[0, :, 0, :] = o
-    else:
-        o_ref[0] = o
+    o_ref[0] = (acc[:, :d] / l).astype(o_ref.dtype)
     # emit natural-log lse (the backward's contract): ln(sumexp) =
     # (m2 + log2(l)) * ln2
     lse_ref[0, 0] = ((m + jnp.log2(l)) * (1.0 / LOG2E))[:, 0]
+
+
+def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, heads,
+                       d, mxu_dtype, skip_max, pvt):
+    """hd-packed single-k-sweep forward: operands stay in the projections'
+    natural [B, S, H*D] layout (block minor dim == array dim, which Mosaic
+    always allows), and heads are separated INSIDE the kernel by static lane
+    slices. A per-head 4D [B, S, H, D] blocking is illegal on Mosaic (the
+    second-to-minor block dim would be 1 of H), and the BHSD path instead
+    pays a layout copy per operand per site (~0.55 s/batch profiled
+    2026-08-17). The per-head slice is a small VMEM relayout next to the
+    matmuls. Single-sweep only: the grid revisits the same K/V block for
+    every q block, so HBM fetches K/V once per (batch, site)."""
+    sk = k_ref.shape[1]
+    bq = q_ref.shape[1]
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        q = q_ref[0][:, sl].astype(jnp.float32) * (scale * LOG2E)
+        q = q.astype(mxu_dtype)
+        k = k_ref[0][:, sl].astype(mxu_dtype)
+        v = v_ref[0][:, sl].astype(mxu_dtype)
+        v_aug = jnp.concatenate([v, jnp.ones((sk, 1), mxu_dtype)], axis=1)
+        if pvt:
+            s_t = jax.lax.dot_general(  # [sk, bq] = K . Q^T
+                k, q, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if skip_max:
+                m = jnp.zeros((1, bq), jnp.float32)
+                p_t = jnp.exp2(jnp.minimum(s_t, 110.0)).astype(mxu_dtype)
+            else:
+                m = jnp.max(s_t, axis=0, keepdims=True)
+                p_t = jnp.exp2(s_t - m).astype(mxu_dtype)
+            acc_t = jax.lax.dot_general(  # [d+1, bq]
+                v_aug, p_t, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            l = acc_t[d:, :]  # [1, bq]
+            if skip_max:
+                l = jnp.maximum(l, 1e-30)
+            o_ref[0, :, sl] = jnp.transpose(acc_t[:d, :] / l).astype(o_ref.dtype)
+            lse_ref[0, h, :] = ((m + jnp.log2(l)) * (1.0 / LOG2E))[0, :]
+        else:
+            s = jax.lax.dot_general(  # [bq, sk]
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if skip_max:
+                m = jnp.zeros((bq, 1), jnp.float32)
+                p = jnp.exp2(jnp.minimum(s, 110.0)).astype(mxu_dtype)
+            else:
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp2(s - m).astype(mxu_dtype)
+            acc = jax.lax.dot_general(  # [bq, d+1]
+                p, v_aug, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            l = acc[:, d:]
+            if skip_max:
+                l = jnp.maximum(l, 1e-30)
+            o_ref[0, :, sl] = (acc[:, :d] / l).astype(o_ref.dtype)
+            lse_ref[0, h, :] = ((m + jnp.log2(l)) * (1.0 / LOG2E))[:, 0]
+
+
+def _packed_sweep_vmem(block_q: int, sk: int, heads: int, d: int,
+                       itemsize: int, mxu_itemsize: int) -> int:
+    """Resident-VMEM estimate for the hd-packed kernel. Only ONE head's
+    logits/p transients are live at a time (the head loop is sequential),
+    but the K/V refs hold all heads packed."""
+    hd = heads * d
+    hdpad = ((hd + 127) // 128) * 128
+    dpad = ((d + 127) // 128) * 128
+    est = 4 * block_q * sk  # logits (fp32, one head)
+    est += mxu_itemsize * block_q * sk  # p block
+    est += 2 * itemsize * sk * hdpad  # packed K/V refs
+    est += 2 * mxu_itemsize * sk * dpad  # per-head k/v slice copies
+    est += mxu_itemsize * sk * dpad  # ones-augmented V copy
+    est += (itemsize + itemsize) * block_q * hdpad  # q/out refs
+    est += (4 + mxu_itemsize + 4) * block_q * dpad  # q fp32+cast, acc
+    return est
 
 
 def _pick_block(size: int, preferred: int = 512, env: Optional[str] = None) -> Optional[int]:
@@ -211,6 +274,22 @@ def _pick_block(size: int, preferred: int = 512, env: Optional[str] = None) -> O
         if cand <= size and size % cand == 0:
             return cand
     return None
+
+
+def _packed_ok(sq: int, sk: int, heads: int, d: int, dtype) -> bool:
+    """True when the hd-packed single-sweep kernel can run this geometry:
+    some q block in (256, 128) fits the VMEM budget."""
+    import os
+
+    mxu_isz = 2 if (dtype == jnp.bfloat16
+                    and not os.environ.get("CTRLORA_FLASH_FP32MM")) else 4
+    isz = jnp.dtype(dtype).itemsize
+    return any(
+        bq <= sq and sq % bq == 0
+        and _packed_sweep_vmem(bq, sk, heads, d, isz, mxu_isz)
+        <= _SINGLE_SWEEP_LIMIT
+        for bq in (256, 128)
+    )
 
 
 def _pvt_enabled(d: int) -> bool:
@@ -304,35 +383,50 @@ def _flash_forward(q, k, v, scale, bshd=False):
             block_k = _pick_block(sk)
     assert block_q is not None and block_k is not None
     if bshd:
-        # BSHD consumes the projections' natural [B, S, H, D] layout: grid
-        # over (batch, head, q-block), operand blocks slice one head's d
-        # columns (strided DMA — small next to the matmul time, vs a full
-        # layout-copy of q/k/v/out per site on the BHSD path)
-        skip_max = (block_k == sk
-                    and not _os.environ.get("CTRLORA_FLASH_SAFEMAX"))
-        kern = functools.partial(_fwd_kernel, scale=scale, block_k=block_k,
-                                 sk=sk, mxu_dtype=mxu_dtype,
-                                 skip_max=skip_max, bshd=True,
+        # hd-packed path (see _fwd_kernel_packed): q/k/v are reshaped (free —
+        # minor dims collapse) to [B, S, H*D] and the kernel separates heads
+        # by static lane slices. Shrink the q block until the single sweep
+        # fits; the caller (dot_product_attention_bshd) guarantees fit via
+        # _packed_ok, so block_q is never None here.
+        block_q = None
+        for bq_cand in (256, 128):
+            if (bq_cand <= sq and sq % bq_cand == 0
+                    and _packed_sweep_vmem(bq_cand, sk, h, d, q.dtype.itemsize,
+                                           mxu_isz) <= _SINGLE_SWEEP_LIMIT):
+                block_q = bq_cand
+                break
+        assert block_q is not None, "caller must check _packed_ok first"
+        skip_max = not _os.environ.get("CTRLORA_FLASH_SAFEMAX")
+        kern = functools.partial(_fwd_kernel_packed, scale=scale, heads=h,
+                                 d=d, mxu_dtype=mxu_dtype, skip_max=skip_max,
                                  pvt=_pvt_enabled(d))
+        hd = h * d
+        qp, kp, vp = (t.reshape(t.shape[0], t.shape[1], hd) for t in (q, k, v))
         out, lse = pl.pallas_call(
             kern,
-            grid=(b, h, sq // block_q),
+            grid=(b, sq // block_q),
             in_specs=[
-                pl.BlockSpec((1, block_q, 1, d), lambda i, j, n: (i, n, j, 0)),
-                pl.BlockSpec((1, sk, 1, d), lambda i, j, n: (i, 0, j, 0)),
-                pl.BlockSpec((1, sk, 1, d), lambda i, j, n: (i, 0, j, 0)),
+                pl.BlockSpec((1, block_q, hd), lambda i, n: (i, n, 0)),
+                pl.BlockSpec((1, sk, hd), lambda i, n: (i, 0, 0)),
+                pl.BlockSpec((1, sk, hd), lambda i, n: (i, 0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, block_q, 1, d), lambda i, j, n: (i, n, j, 0)),
-                pl.BlockSpec((1, 1, block_q), lambda i, j, n: (i * h + j, 0, n)),
+                pl.BlockSpec((1, block_q, hd), lambda i, n: (i, n, 0)),
+                pl.BlockSpec((1, h, block_q), lambda i, n: (i, 0, n)),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((b, sq, h, d), q.dtype),
-                jax.ShapeDtypeStruct((b * h, 1, sq), jnp.float32),
+                jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
+                jax.ShapeDtypeStruct((b, h, sq), jnp.float32),
             ],
+            # the packed kernel's measured scoped-VMEM need at the dominant
+            # [8,4096,320] site is 18MB (Mosaic stack accounting across the
+            # unrolled head loop exceeds the itemized estimate) — raise the
+            # per-kernel limit explicitly; v5e has 128MB VMEM
+            compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=48 * 2**20)
+                             if pltpu is not None and not _interpret() else None),
             interpret=_interpret(),
-        )(q, k, v)
-        return out, lse.reshape(b, h, sq)
+        )(qp, kp, vp)
+        return out.reshape(b, sq, h, d), lse
     # the max-subtraction is an overflow guard (softmax is shift-
     # invariant); the single-sweep default replaces it with a clamped
     # exp2 (fused, no extra pass — 2.5% end-to-end on the ledger A/B).
@@ -635,6 +729,7 @@ def dot_product_attention_bshd(
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     sq, sk = q.shape[1], k.shape[1]
+    h, d = q.shape[2], q.shape[3]
     import os
 
     flash_ok = (
@@ -645,7 +740,9 @@ def dot_product_attention_bshd(
         and _pick_block(sq) is not None
         and _pick_block(sk) is not None
     )
-    if flash_ok:
+    if flash_ok and _packed_ok(sq, sk, h, d, q.dtype):
         return _flash_attention_bshd(q, k, v, scale)
     tr = lambda t: t.transpose(0, 2, 1, 3)
+    if flash_ok:  # packed sweep doesn't fit: BHSD kernel with layout copies
+        return tr(_flash_attention(tr(q), tr(k), tr(v), scale))
     return tr(xla_attention(tr(q), tr(k), tr(v), scale))

@@ -101,12 +101,18 @@ def _reference(x, w1, b1, w2, b2):
 def geglu_ffn_ok(x: jnp.ndarray, w1: jnp.ndarray) -> bool:
     import os
 
-    # Opt-in (CTRLORA_GEGLU_FFN=1) until the kernel has a clean on-chip A/B:
-    # its first real-TPU execution (2026-08-17 19:0x) never returned within
-    # 50 min and the session's tunnel wedged — default-on would put an
-    # unvalidated kernel on the driver-bench path.
-    if not os.environ.get("CTRLORA_GEGLU_FFN"):
+    # Default-on ON ACCELERATORS since the 2026-08-18 ledger A/B: 4.40 vs
+    # 4.59 s/batch (-4.3% end-to-end) with bit-identical sampling checksums.
+    # CTRLORA_GEGLU_FFN=0 force-disables for same-session comparisons;
+    # =1 forces the kernel even off-TPU (interpret mode — CPU parity tests).
+    flag = os.environ.get("CTRLORA_GEGLU_FFN", "")
+    if flag == "0":
         return False
+    if not flag:
+        from ctrlora_tpu.utils.platform import on_accelerator
+
+        if not on_accelerator():
+            return False
     c, f2 = w1.shape
     f = f2 // 2
     rows = 1

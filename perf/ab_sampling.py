@@ -125,6 +125,12 @@ def main():
                      env=(("CTRLORA_FLASH_BSHD", "1"),
                           ("CTRLORA_FLASH_PVT", "1"),
                           ("CTRLORA_GEGLU_FFN", "1"))),
+        "pvtffn": dict(use_fused=True, unroll=1,
+                       env=(("CTRLORA_FLASH_PVT", "1"),
+                            ("CTRLORA_GEGLU_FFN", "1"))),
+        "bshdffn": dict(use_fused=True, unroll=1,
+                        env=(("CTRLORA_FLASH_BSHD", "1"),
+                             ("CTRLORA_GEGLU_FFN", "1"))),
         "steps10": dict(use_fused=True, unroll=1, env=None, n_steps=10),
         "nocfg": dict(use_fused=True, unroll=1, env=None, guidance=1.0),
         "nocontrol": dict(use_fused=True, unroll=1, env=None, control=False),

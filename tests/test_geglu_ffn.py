@@ -27,7 +27,11 @@ def test_forward_matches_reference_fp32(monkeypatch):
     monkeypatch.setenv("CTRLORA_GEGLU_FFN", "1")
     assert geglu_ffn_ok(x, w1)
     monkeypatch.delenv("CTRLORA_GEGLU_FFN")
-    assert not geglu_ffn_ok(x, w1)  # opt-in until validated on chip
+    # default (unset) is on ON ACCELERATORS (2026-08-18 ledger A/B) but
+    # off on this CPU host — interpret mode would drag the whole suite
+    assert not geglu_ffn_ok(x, w1)
+    monkeypatch.setenv("CTRLORA_GEGLU_FFN", "0")
+    assert not geglu_ffn_ok(x, w1)  # =0 force-disables
     monkeypatch.setenv("CTRLORA_GEGLU_FFN", "1")
     out = geglu_ffn(x, w1, b1, w2, b2)
     ref = _reference(x, w1, b1, w2, b2)
