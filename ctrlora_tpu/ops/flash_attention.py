@@ -389,12 +389,22 @@ def _flash_forward(q, k, v, scale, bshd=False):
         # fits; the caller (dot_product_attention_bshd) guarantees fit via
         # _packed_ok, so block_q is never None here.
         block_q = None
-        for bq_cand in (256, 128):
-            if (bq_cand <= sq and sq % bq_cand == 0
-                    and _packed_sweep_vmem(bq_cand, sk, h, d, q.dtype.itemsize,
-                                           mxu_isz) <= _SINGLE_SWEEP_LIMIT):
-                block_q = bq_cand
-                break
+        forced = _os.environ.get("CTRLORA_FLASH_PACKED_BQ")
+        if forced:  # experiment knob: trust the raised VMEM limit, skip the
+            try:    # estimate (perf/ab_sampling.py same-session comparisons)
+                cand = int(forced)
+                if cand <= sq and sq % cand == 0:
+                    block_q = cand
+            except ValueError:
+                pass
+        if block_q is None:
+            for bq_cand in (256, 128):
+                if (bq_cand <= sq and sq % bq_cand == 0
+                        and _packed_sweep_vmem(bq_cand, sk, h, d,
+                                               q.dtype.itemsize,
+                                               mxu_isz) <= _SINGLE_SWEEP_LIMIT):
+                    block_q = bq_cand
+                    break
         assert block_q is not None, "caller must check _packed_ok first"
         skip_max = not _os.environ.get("CTRLORA_FLASH_SAFEMAX")
         kern = functools.partial(_fwd_kernel_packed, scale=scale, heads=h,
