@@ -86,21 +86,14 @@ def _traced_flops(fn, *args) -> float | None:
     Traced with flash attention disabled so the Pallas kernels are counted
     via their exact XLA-attention equivalent (XLA's compiled cost_analysis
     counts scan bodies once, under-reporting a 50-step DDIM ~50x)."""
-    import os
-
+    from ctrlora_tpu.ops.kernel_flags import override
     from ctrlora_tpu.utils.flops import fn_flops
 
-    old = os.environ.get("CTRLORA_NO_FLASH")
-    os.environ["CTRLORA_NO_FLASH"] = "1"
     try:
-        return fn_flops(fn, *args)
+        with override(use_flash=False):
+            return fn_flops(fn, *args)
     except Exception:
         return None
-    finally:
-        if old is None:
-            os.environ.pop("CTRLORA_NO_FLASH", None)
-        else:
-            os.environ["CTRLORA_NO_FLASH"] = old
 
 
 def _init_on_device(make_fn):

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ctrlora_tpu.annotators.hed import ckpts_dir
+from ctrlora_tpu.annotators.download import ensure_ckpt
 
 NET_SIZE = 416
 N_CLASSES = 80
@@ -335,7 +336,7 @@ class BBoxDetector:
     def __init__(self, weights_path: str | None = None,
                  cfg_path: str | None = None):
         self.net = YoloV4(cfg_path)
-        path = weights_path or os.path.join(ckpts_dir(), "yolov4.weights")
+        path = weights_path or ensure_ckpt("yolov4.weights")
         self.params = self.net.load_weights(path)
         self._fwd = jax.jit(self.net.forward)
 

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ctrlora_tpu.annotators.oneformer.pixel_decoder import _resize_bilinear
+from ctrlora_tpu.annotators.download import ensure_ckpt
 
 PIXEL_MEAN = np.array([103.530, 116.280, 123.675], np.float32)  # BGR
 MIN_SIZE_TEST, MAX_SIZE_TEST = 800, 1333
@@ -490,7 +491,7 @@ class DenseposeDetector:
             from ctrlora_tpu.annotators.hed import ckpts_dir
             import os
 
-            ckpt_path = ckpt_path or os.path.join(ckpts_dir(), "model_final_844d15.pkl")
+            ckpt_path = ckpt_path or ensure_ckpt("model_final_844d15.pkl")
             if not os.path.exists(ckpt_path):
                 raise FileNotFoundError(
                     f"DensePose weights not found: {ckpt_path} — download "

@@ -63,7 +63,9 @@ class ControlNetHED(nn.Module):
 
 def load_hed_params(path: Optional[str] = None):
     """Bridge ControlNetHED.pth (torch) -> flax params, or None if absent."""
-    path = path or os.path.join(ckpts_dir(), "ControlNetHED.pth")
+    from ctrlora_tpu.annotators.download import ensure_ckpt
+
+    path = ensure_ckpt("ControlNetHED.pth", path)
     if not os.path.exists(path):
         return None
     import torch

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ctrlora_tpu.annotators.hed import ckpts_dir
+from ctrlora_tpu.annotators.download import ensure_ckpt
 
 
 def instance_norm(x, eps: float = 1e-5):
@@ -224,7 +225,7 @@ class LineartDetector:
         self.model = LineartGenerator(n_blocks=3)
         self.params = {}
         for name, f in (("fine", "sk_model.pth"), ("coarse", "sk_model2.pth")):
-            sd = _load_torch(os.path.join(ckpts_dir(), f))
+            sd = _load_torch(ensure_ckpt(f))
             if sd is not None:
                 self.params[name] = jax.tree_util.tree_map(
                     jnp.asarray, convert_lineart(sd)
@@ -244,7 +245,7 @@ class LineartDetector:
 class LineartAnimeDetector:
     def __init__(self):
         self.model = AnimeUNet()
-        sd = _load_torch(os.path.join(ckpts_dir(), "netG.pth"))
+        sd = _load_torch(ensure_ckpt("netG.pth"))
         if sd is not None:
             self.params = jax.tree_util.tree_map(jnp.asarray, convert_anime_unet(sd))
         else:

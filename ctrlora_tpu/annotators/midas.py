@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ctrlora_tpu.annotators.hed import ckpts_dir
+from ctrlora_tpu.annotators.download import ensure_ckpt
 
 VIT_DIM = 1024
 VIT_LAYERS = 24
@@ -254,7 +255,7 @@ class MidasDetector:
 
     def __init__(self, params=None):
         if params is None:
-            path = os.path.join(ckpts_dir(), "dpt_large_384.pt")
+            path = ensure_ckpt("dpt_large_384.pt")
             alt = os.path.join(ckpts_dir(), "dpt_large-midas-2f21e586.pt")
             path = path if os.path.exists(path) else alt
             if os.path.exists(path):

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ctrlora_tpu.annotators.hed import ckpts_dir
+from ctrlora_tpu.annotators.download import ensure_ckpt
 
 
 class FoldedBN(nn.Module):
@@ -328,7 +329,7 @@ class MLSDdetector:
     def __init__(self, params=None):
         self.model = MobileV2MLSDLarge()
         if params is None:
-            path = os.path.join(ckpts_dir(), "mlsd_large_512_fp32.pth")
+            path = ensure_ckpt("mlsd_large_512_fp32.pth")
             if os.path.exists(path):
                 import torch
 

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ctrlora_tpu.annotators.hed import ckpts_dir
+from ctrlora_tpu.annotators.download import ensure_ckpt
 from ctrlora_tpu.annotators.mlsd import FoldedBN
 
 
@@ -357,7 +358,7 @@ class NormalBaeDetector:
     def __init__(self, ckpt_path: str | None = None):
         import torch
 
-        path = ckpt_path or os.path.join(ckpts_dir(), "scannet.pt")
+        path = ckpt_path or ensure_ckpt("scannet.pt")
         raw = torch.load(path, map_location="cpu", weights_only=False)
         if isinstance(raw, dict) and "model" in raw:
             raw = raw["model"]

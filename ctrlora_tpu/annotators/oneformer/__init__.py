@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ctrlora_tpu.annotators.oneformer.decoder import DecoderConfig, decoder_forward
+from ctrlora_tpu.annotators.download import ensure_ckpt
 from ctrlora_tpu.annotators.oneformer.pixel_decoder import (
     PixelDecoderConfig, _resize_bilinear, pixel_decoder_forward,
 )
@@ -352,7 +353,7 @@ def _softmax(x: np.ndarray) -> np.ndarray:
 def _ckpt(name: str) -> str:
     from ctrlora_tpu.annotators.hed import ckpts_dir
 
-    path = os.path.join(ckpts_dir(), name)
+    path = ensure_ckpt(name)
     if not os.path.exists(path):
         raise FileNotFoundError(
             f"OneFormer weights not found: {path} — download "

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ctrlora_tpu.annotators.hed import ckpts_dir
+from ctrlora_tpu.annotators.download import ensure_ckpt
 from ctrlora_tpu.annotators.openpose import decode, models
 
 EPS = 0.01
@@ -137,7 +138,7 @@ def _load_flat(path):
 
 class Body:
     def __init__(self, params=None):
-        self.params = params or _load_flat(os.path.join(ckpts_dir(), "body_pose_model.pth"))
+        self.params = params or _load_flat(ensure_ckpt("body_pose_model.pth"))
         if self.params is None:
             self.params = models.init_random(
                 [models.BODY_BLOCK0, models.body_stage1(1), models.body_stage1(2)]
@@ -167,7 +168,7 @@ class Body:
 
 class Hand:
     def __init__(self, params=None):
-        self.params = params or _load_flat(os.path.join(ckpts_dir(), "hand_pose_model.pth"))
+        self.params = params or _load_flat(ensure_ckpt("hand_pose_model.pth"))
         if self.params is None:
             self.params = models.init_random(
                 [models.HAND_BLOCK1_0, models.HAND_BLOCK1_1]
@@ -196,7 +197,7 @@ class Hand:
 
 class Face:
     def __init__(self, params=None):
-        self.params = params or _load_flat(os.path.join(ckpts_dir(), "facenet.pth"))
+        self.params = params or _load_flat(ensure_ckpt("facenet.pth"))
         if self.params is None:
             self.params = models.init_random(
                 [models.FACE_BASE, models.FACE_STAGE1]

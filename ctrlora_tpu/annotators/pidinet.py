@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ctrlora_tpu.annotators.hed import ckpts_dir
+from ctrlora_tpu.annotators.download import ensure_ckpt
 from ctrlora_tpu.annotators.util import safe_step
 
 CARV4 = ["cd", "ad", "rd", "cv"] * 4
@@ -204,7 +205,7 @@ def init_random_pidinet(rng: np.random.Generator) -> Dict:
 class PidiNetDetector:
     def __init__(self, params=None):
         if params is None:
-            path = os.path.join(ckpts_dir(), "table5_pidinet.pth")
+            path = ensure_ckpt("table5_pidinet.pth")
             if os.path.exists(path):
                 import torch
 

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ctrlora_tpu.annotators.ade_palette import ADE_PALETTE
 from ctrlora_tpu.annotators.hed import ckpts_dir
+from ctrlora_tpu.annotators.download import ensure_ckpt
 
 EMBED_DIMS = (64, 128, 320, 512)
 LAYERS = (3, 4, 8, 3)
@@ -265,7 +266,7 @@ IMAGENET_STD = np.array([58.395, 57.12, 57.375], np.float32)
 class UniformerDetector:
     def __init__(self, params=None):
         if params is None:
-            path = os.path.join(ckpts_dir(), "upernet_global_small.pth")
+            path = ensure_ckpt("upernet_global_small.pth")
             if os.path.exists(path):
                 import torch
 

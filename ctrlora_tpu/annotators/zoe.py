@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ctrlora_tpu.annotators.hed import ckpts_dir
+from ctrlora_tpu.annotators.download import ensure_ckpt
 from ctrlora_tpu.annotators.midas import _conv, _convT, _dense, _fusion, _ln, _up2_align
 from ctrlora_tpu.annotators.uniformer import _resize  # torch bilinear, align=False
 
@@ -295,7 +296,7 @@ class ZoeDetector:
     def __init__(self, ckpt_path: str | None = None):
         import torch
 
-        path = ckpt_path or os.path.join(ckpts_dir(), "ZoeD_M12_N.pt")
+        path = ckpt_path or ensure_ckpt("ZoeD_M12_N.pt")
         raw = torch.load(path, map_location="cpu", weights_only=False)
         if isinstance(raw, dict) and "model" in raw:
             raw = raw["model"]

@@ -17,6 +17,7 @@ from flax import linen as nn
 
 from ctrlora_tpu.configs import LoRAConfig
 from ctrlora_tpu.models.layers import Conv, Dense, GroupNorm32, LayerNorm32
+from ctrlora_tpu.ops import kernel_flags
 from ctrlora_tpu.ops.flash_attention import (
     dot_product_attention, dot_product_attention_bshd,
 )
@@ -113,12 +114,13 @@ class CrossAttention(nn.Module):
 
         b, sq, _ = q.shape
         split = lambda t: t.reshape(b, t.shape[1], self.heads, self.dim_head).transpose(0, 2, 1, 3)
-        import os
 
-        if os.environ.get("CTRLORA_FLASH_BSHD"):
-            # head-split WITHOUT the BHSD transpose: the flash kernel grids
-            # over (batch, head) and slices head columns itself, saving a
-            # layout copy of q/k/v/out per site (opt-in pending on-chip A/B)
+        if kernel_flags.flags().attn_layout == "bshd":
+            # DEFAULT since the 2026-08-18 ledger A/B (4.126 vs 4.399
+            # s/batch): head-split WITHOUT the BHSD transpose — the
+            # hd-packed flash kernel slices head columns itself, saving a
+            # layout copy of q/k/v/out per site. CTRLORA_KERNELS=bhsd
+            # restores the transpose path for comparisons.
             heads4 = lambda t: t.reshape(b, t.shape[1], self.heads, self.dim_head)
             out = dot_product_attention_bshd(
                 heads4(q), heads4(k), heads4(v), use_flash=self.use_flash

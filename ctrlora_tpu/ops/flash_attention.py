@@ -6,9 +6,18 @@ Replaces the reference's three memory strategies — sliced attention
 softmax kernels that never materialize the [Sq, Sk] logits in HBM, in either
 direction.
 
-Shapes: q [B, H, Sq, D], k/v [B, H, Sk, D], unmasked full attention (SD's
-spatial self-attention is unmasked). D may be non-128-aligned (SD1.5 uses
-head dims 40/80/160); Mosaic pads lanes transparently.
+Two public layouts:
+  * dot_product_attention        — [B, H, S, D] (transpose layout)
+  * dot_product_attention_bshd   — [B, S, H, D] (the projections' natural
+    layout; the DEFAULT module path since the 2026-08-18 ledger A/B showed
+    the hd-packed kernel saves the per-site layout copies: 4.126 vs 4.399
+    s/batch end-to-end)
+
+D may be non-128-aligned (SD1.5 uses head dims 40/80/160); Mosaic pads lanes
+transparently. Variant knobs (safemax, fp32 MXU operands, block sizes) come
+from ops.kernel_flags — losers from past A/Bs are deleted, not flagged
+(retired: the round-2 kernel generation, 512-chunk forcing, and the
+PV-transposed epilogue, which lost 4.62 vs 4.59 on 2026-08-18).
 
 The forward also emits the per-row logsumexp; the backward recomputes
 probabilities streamingly from it (no saved attention matrix):
@@ -29,6 +38,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from ctrlora_tpu.ops.kernel_flags import flags
+
 try:  # pltpu only resolves on TPU-enabled builds
     from jax.experimental.pallas import tpu as pltpu
 except Exception:  # pragma: no cover
@@ -45,7 +56,7 @@ LOG2E = 1.4426950408889634  # exp(x) == exp2(x * LOG2E); exp2 is the native
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk,
-                mxu_dtype, skip_max, pvt=False):
+                mxu_dtype, skip_max):
     """VPU-pass-minimized forward. The profiled cost of this kernel at SD's
     dominant [64, 4096, 40] geometry is NOT the matmuls (d=40 keeps the MXU
     at ~31% and they are cheap in bf16) but the number of full VPU passes
@@ -64,71 +75,17 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk,
       s2 = (q.k * scale) * LOG2E); the reverted round-1 experiment instead
       multiplied every logits block by scale on the VPU.
 
-    skip_max (CTRLORA_FLASH_NOMAX=1, single-sweep only): softmax is
-    shift-invariant for ANY constant, so the per-row max subtraction is an
-    overflow guard, not math — exp2 keeps fp32 finite for logits up to
-    127/LOG2E ~= 88 in natural units vs SD's observed |logits| < ~30.
-    Skipping it removes the remaining reduce pass.
-
-    pvt (PV-transposed): at SD's head dims the PV matmul's OUTPUT dim is
-    d+1 = 41/81 lanes of the MXU's 128 — a fixed ~3x/1.6x pad waste on half
-    the kernel FLOPs (hlo_stats 2026-08-17: the 7 [64,4096,40] attn1 sites
-    are 28% of the whole scan). Computing the transposed form
-        o^T [d+1, bq] = dot(v_aug [sk, d+1], p^T [sk, bq])   (contract sk)
-    puts d+1 on the M (streaming) dim, which pads to sublanes (8) not
-    lanes (128): K = sk and N = bq are both dense, so the PV matmul runs
-    ~full MXU. The logits are produced directly in transposed form
-    (s^T = K.Q^T — same MXU cost as Q.K^T since the d-contraction pads
-    either way), the exp2 pass is the same element count, and the one
-    extra op is an in-kernel [d, bq] fp32 transpose — 1.2% of the logits
-    block's elements.
-    """
+    skip_max (the single-sweep default): softmax is shift-invariant for ANY
+    constant, so the per-row max subtraction is an overflow guard, not math
+    — exp2 keeps fp32 finite for logits up to 127/LOG2E ~= 88 in natural
+    units vs SD's observed |logits| < ~30. Skipping it removes the
+    remaining reduce pass (CTRLORA_KERNELS=safemax restores the exact
+    guard)."""
     q = q_ref[0].astype(jnp.float32) * (scale * LOG2E)  # [bq, D]
     kv_blk = lambda ref, sl: ref[0, sl, :]
     q = q.astype(mxu_dtype)
     bq, d = q.shape
     num_k = sk // block_k
-
-    if pvt:
-        def body_t(i, carry):
-            acc_t, m = carry  # acc_t [d+1, bq] fp32; m [1, bq]
-            k = kv_blk(k_ref, pl.ds(i * block_k, block_k)).astype(mxu_dtype)
-            v = kv_blk(v_ref, pl.ds(i * block_k, block_k)).astype(mxu_dtype)
-            v_aug = jnp.concatenate(
-                [v, jnp.ones((block_k, 1), mxu_dtype)], axis=1
-            )
-            s_t = jax.lax.dot_general(  # [block_k, bq] = K . Q^T
-                k, q, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if skip_max:
-                m_new = m
-                p_t = jnp.exp2(jnp.minimum(s_t, 110.0)).astype(mxu_dtype)
-                acc_new = acc_t + jax.lax.dot_general(
-                    v_aug, p_t, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            else:
-                m_new = jnp.maximum(m, jnp.max(s_t, axis=0, keepdims=True))
-                p_t = jnp.exp2(s_t - m_new).astype(mxu_dtype)
-                alpha = jnp.exp2(m - m_new)
-                acc_new = acc_t * alpha + jax.lax.dot_general(
-                    v_aug, p_t, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            return acc_new, m_new
-
-        acc_t = jnp.zeros((d + 1, bq), jnp.float32)
-        m0 = 0.0 if skip_max else NEG_INF
-        acc_t, m = jax.lax.fori_loop(
-            0, num_k, body_t, (acc_t, jnp.full((1, bq), m0, jnp.float32))
-        )
-        l = acc_t[d:, :]  # [1, bq]
-        if skip_max:
-            l = jnp.maximum(l, 1e-30)
-        o_ref[0] = jnp.transpose(acc_t[:d, :] / l).astype(o_ref.dtype)
-        lse_ref[0, 0] = ((m + jnp.log2(l)) * (1.0 / LOG2E))[0, :]
-        return
 
     def body(i, carry):
         acc, m = carry  # acc [bq, d+1] fp32: PV sums | softmax denominator
@@ -179,7 +136,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk,
 
 
 def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, heads,
-                       d, mxu_dtype, skip_max, pvt):
+                       d, mxu_dtype, skip_max):
     """hd-packed single-k-sweep forward: operands stay in the projections'
     natural [B, S, H*D] layout (block minor dim == array dim, which Mosaic
     always allows), and heads are separated INSIDE the kernel by static lane
@@ -198,46 +155,25 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, heads,
         k = k_ref[0][:, sl].astype(mxu_dtype)
         v = v_ref[0][:, sl].astype(mxu_dtype)
         v_aug = jnp.concatenate([v, jnp.ones((sk, 1), mxu_dtype)], axis=1)
-        if pvt:
-            s_t = jax.lax.dot_general(  # [sk, bq] = K . Q^T
-                k, q, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if skip_max:
-                m = jnp.zeros((1, bq), jnp.float32)
-                p_t = jnp.exp2(jnp.minimum(s_t, 110.0)).astype(mxu_dtype)
-            else:
-                m = jnp.max(s_t, axis=0, keepdims=True)
-                p_t = jnp.exp2(s_t - m).astype(mxu_dtype)
-            acc_t = jax.lax.dot_general(  # [d+1, bq]
-                v_aug, p_t, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            l = acc_t[d:, :]  # [1, bq]
-            if skip_max:
-                l = jnp.maximum(l, 1e-30)
-            o_ref[0, :, sl] = jnp.transpose(acc_t[:d, :] / l).astype(o_ref.dtype)
-            lse_ref[0, h, :] = ((m + jnp.log2(l)) * (1.0 / LOG2E))[0, :]
+        s = jax.lax.dot_general(  # [bq, sk]
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if skip_max:
+            m = jnp.zeros((bq, 1), jnp.float32)
+            p = jnp.exp2(jnp.minimum(s, 110.0)).astype(mxu_dtype)
         else:
-            s = jax.lax.dot_general(  # [bq, sk]
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if skip_max:
-                m = jnp.zeros((bq, 1), jnp.float32)
-                p = jnp.exp2(jnp.minimum(s, 110.0)).astype(mxu_dtype)
-            else:
-                m = jnp.max(s, axis=-1, keepdims=True)
-                p = jnp.exp2(s - m).astype(mxu_dtype)
-            acc = jax.lax.dot_general(  # [bq, d+1]
-                p, v_aug, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            l = acc[:, d:]
-            if skip_max:
-                l = jnp.maximum(l, 1e-30)
-            o_ref[0, :, sl] = (acc[:, :d] / l).astype(o_ref.dtype)
-            lse_ref[0, h, :] = ((m + jnp.log2(l)) * (1.0 / LOG2E))[:, 0]
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m).astype(mxu_dtype)
+        acc = jax.lax.dot_general(  # [bq, d+1]
+            p, v_aug, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        l = acc[:, d:]
+        if skip_max:
+            l = jnp.maximum(l, 1e-30)
+        o_ref[0, :, sl] = (acc[:, :d] / l).astype(o_ref.dtype)
+        lse_ref[0, h, :] = ((m + jnp.log2(l)) * (1.0 / LOG2E))[:, 0]
 
 
 def _packed_sweep_vmem(block_q: int, sk: int, heads: int, d: int,
@@ -258,16 +194,10 @@ def _packed_sweep_vmem(block_q: int, sk: int, heads: int, d: int,
     return est
 
 
-def _pick_block(size: int, preferred: int = 512, env: Optional[str] = None) -> Optional[int]:
-    import os
-
-    if env and os.environ.get(env):  # experiment knob for perf/ microbenches
-        try:
-            preferred = int(os.environ[env])
-        except ValueError:
-            import warnings
-
-            warnings.warn(f"ignoring malformed {env}={os.environ[env]!r}")
+def _pick_block(size: int, preferred: int = 512,
+                forced: Optional[int] = None) -> Optional[int]:
+    if forced:  # perf-sweep override from kernel_flags (bq=/bk=)
+        preferred = forced
     # a preferred block that doesn't divide `size` falls through to the
     # defaults below rather than erroring
     for cand in (preferred, 512, 256, 128):
@@ -279,28 +209,14 @@ def _pick_block(size: int, preferred: int = 512, env: Optional[str] = None) -> O
 def _packed_ok(sq: int, sk: int, heads: int, d: int, dtype) -> bool:
     """True when the hd-packed single-sweep kernel can run this geometry:
     some q block in (256, 128) fits the VMEM budget."""
-    import os
-
-    mxu_isz = 2 if (dtype == jnp.bfloat16
-                    and not os.environ.get("CTRLORA_FLASH_FP32MM")) else 4
+    mxu_isz = 2 if (dtype == jnp.bfloat16 and not flags().fp32_matmul) else 4
     isz = jnp.dtype(dtype).itemsize
     return any(
         bq <= sq and sq % bq == 0
         and _packed_sweep_vmem(bq, sk, heads, d, isz, mxu_isz)
-        <= _SINGLE_SWEEP_LIMIT
+        * _PACKED_MEASURED_OVER_EST <= _PACKED_SWEEP_LIMIT
         for bq in (256, 128)
     )
-
-
-def _pvt_enabled(d: int) -> bool:
-    """PV-transposed epilogue (see _fwd_kernel docstring). Only pays when
-    the head dim under-fills the 128 MXU lanes; opt-in via
-    CTRLORA_FLASH_PVT=1 until the on-chip A/B lands (CTRLORA_FLASH_PVT=0
-    force-disables for same-session comparisons)."""
-    import os
-
-    flag = os.environ.get("CTRLORA_FLASH_PVT", "")
-    return flag not in ("", "0") and d % 128 != 0
 
 
 def _interpret() -> bool:
@@ -311,11 +227,9 @@ def _interpret() -> bool:
 
 def _mxu_dtype(q) -> jnp.dtype:
     """MXU operand dtype: the input dtype, unless fp32 operands are forced
-    (CTRLORA_FLASH_FP32MM=1 — numerics-debugging knob). fp32 inputs always
+    (CTRLORA_KERNELS=fp32mm — numerics-debugging knob). fp32 inputs always
     use fp32 operands; accumulation is fp32 either way."""
-    import os
-
-    if q.dtype == jnp.bfloat16 and not os.environ.get("CTRLORA_FLASH_FP32MM"):
+    if q.dtype == jnp.bfloat16 and not flags().fp32_matmul:
         return jnp.bfloat16
     return jnp.float32
 
@@ -347,16 +261,26 @@ def _single_sweep_vmem(block_q: int, sk: int, d: int, itemsize: int,
 # giving up on the single sweep.
 _SINGLE_SWEEP_LIMIT = int(15.5 * (1 << 20))
 
+# The packed kernel's measured scoped-VMEM need at the dominant
+# [8,4096,320] site is 18MB against a ~13MB itemized estimate (Mosaic
+# stack accounting across the unrolled head loop exceeds the itemization).
+# Admission therefore scales the estimate by that observed ratio and
+# checks it against HALF the 48MB explicit per-kernel grant — headroom for
+# geometries where the ratio drifts further.
+_PACKED_MEASURED_OVER_EST = 18.0 / 13.0
+_PACKED_SWEEP_LIMIT = int(24 * (1 << 20))
+_PACKED_VMEM_GRANT = 48 * (1 << 20)  # v5e has 128MB VMEM
+
 
 def _flash_forward(q, k, v, scale, bshd=False):
+    fl = flags()
     if bshd:
         b, sq, h, d = q.shape
         sk = k.shape[1]
     else:
         b, h, sq, d = q.shape
         sk = k.shape[2]
-    block_q = _pick_block(sq, env="CTRLORA_FLASH_BQ")
-    import os as _os
+    block_q = _pick_block(sq, forced=fl.block_q)
 
     mxu_dtype = _mxu_dtype(q)
     mxu_isz = jnp.dtype(mxu_dtype).itemsize
@@ -366,14 +290,13 @@ def _flash_forward(q, k, v, scale, bshd=False):
             bq, sk, d, q.dtype.itemsize, mxu_isz
         ) <= _SINGLE_SWEEP_LIMIT
 
-    if _os.environ.get("CTRLORA_FLASH_BK"):
-        block_k = _pick_block(sk, env="CTRLORA_FLASH_BK")
+    if fl.block_k:
+        block_k = _pick_block(sk, forced=fl.block_k)
     else:
         # prefer the single k-sweep, shrinking the q block to fit VMEM
         # before falling back to chunked online softmax
         block_k = None
-        cands = ((block_q,) if _os.environ.get("CTRLORA_FLASH_BQ")
-                 else (block_q, 256, 128))
+        cands = (block_q,) if fl.block_q else (block_q, 256, 128)
         for bq_cand in cands:
             if (bq_cand and bq_cand <= sq and sq % bq_cand == 0
                     and _sweep_fits(bq_cand)):
@@ -389,27 +312,22 @@ def _flash_forward(q, k, v, scale, bshd=False):
         # fits; the caller (dot_product_attention_bshd) guarantees fit via
         # _packed_ok, so block_q is never None here.
         block_q = None
-        forced = _os.environ.get("CTRLORA_FLASH_PACKED_BQ")
-        if forced:  # experiment knob: trust the raised VMEM limit, skip the
-            try:    # estimate (perf/ab_sampling.py same-session comparisons)
-                cand = int(forced)
-                if cand <= sq and sq % cand == 0:
-                    block_q = cand
-            except ValueError:
-                pass
+        if fl.packed_block_q:  # perf-sweep knob: trust the raised VMEM
+            cand = fl.packed_block_q  # grant, skip the estimate
+            if 0 < cand <= sq and sq % cand == 0:
+                block_q = cand
         if block_q is None:
             for bq_cand in (256, 128):
                 if (bq_cand <= sq and sq % bq_cand == 0
                         and _packed_sweep_vmem(bq_cand, sk, h, d,
-                                               q.dtype.itemsize,
-                                               mxu_isz) <= _SINGLE_SWEEP_LIMIT):
+                                               q.dtype.itemsize, mxu_isz)
+                        * _PACKED_MEASURED_OVER_EST <= _PACKED_SWEEP_LIMIT):
                     block_q = bq_cand
                     break
         assert block_q is not None, "caller must check _packed_ok first"
-        skip_max = not _os.environ.get("CTRLORA_FLASH_SAFEMAX")
         kern = functools.partial(_fwd_kernel_packed, scale=scale, heads=h,
-                                 d=d, mxu_dtype=mxu_dtype, skip_max=skip_max,
-                                 pvt=_pvt_enabled(d))
+                                 d=d, mxu_dtype=mxu_dtype,
+                                 skip_max=not fl.safemax)
         hd = h * d
         qp, kp, vp = (t.reshape(t.shape[0], t.shape[1], hd) for t in (q, k, v))
         out, lse = pl.pallas_call(
@@ -428,11 +346,10 @@ def _flash_forward(q, k, v, scale, bshd=False):
                 jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
                 jax.ShapeDtypeStruct((b, h, sq), jnp.float32),
             ],
-            # the packed kernel's measured scoped-VMEM need at the dominant
-            # [8,4096,320] site is 18MB (Mosaic stack accounting across the
-            # unrolled head loop exceeds the itemized estimate) — raise the
-            # per-kernel limit explicitly; v5e has 128MB VMEM
-            compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=48 * 2**20)
+            # raise the per-kernel VMEM limit explicitly (see
+            # _PACKED_SWEEP_LIMIT above for the admission math)
+            compiler_params=(pltpu.CompilerParams(
+                                 vmem_limit_bytes=_PACKED_VMEM_GRANT)
                              if pltpu is not None and not _interpret() else None),
             interpret=_interpret(),
         )(qp, kp, vp)
@@ -440,14 +357,12 @@ def _flash_forward(q, k, v, scale, bshd=False):
     # the max-subtraction is an overflow guard (softmax is shift-
     # invariant); the single-sweep default replaces it with a clamped
     # exp2 (fused, no extra pass — 2.5% end-to-end on the ledger A/B).
-    # CTRLORA_FLASH_SAFEMAX=1 restores the exact per-row guard. (The
+    # CTRLORA_KERNELS=safemax restores the exact per-row guard. (The
     # round-2 kernel generation was retired after the 2026-08-17 18:24
     # ledger A/B: flashv1 4.78 s/batch vs default 4.66.)
-    skip_max = (block_k == sk
-                and not _os.environ.get("CTRLORA_FLASH_SAFEMAX"))
+    skip_max = block_k == sk and not fl.safemax
     kern = functools.partial(_fwd_kernel, scale=scale, block_k=block_k,
-                             sk=sk, mxu_dtype=mxu_dtype, skip_max=skip_max,
-                             pvt=_pvt_enabled(d))
+                             sk=sk, mxu_dtype=mxu_dtype, skip_max=skip_max)
     g = b * h
     qf, kf, vf = (t.reshape(g, t.shape[2], d) for t in (q, k, v))
     out, lse = pl.pallas_call(
@@ -476,7 +391,7 @@ def _flash_forward(q, k, v, scale, bshd=False):
 # ---------------------------------------------------------------------------
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                   *, scale, block_k, sk, pvt=False):
+                   *, scale, block_k, sk):
     q = q_ref[0].astype(jnp.float32)
     q2 = q * (scale * LOG2E)  # exp2-domain logits operand
     do = do_ref[0].astype(jnp.float32)
@@ -496,28 +411,16 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = p * (dp - delta)
-        if pvt:
-            # dq^T [d, bq] = K^T dS^T: d rides the M (streaming) dim, so the
-            # output pad is sublane-granular (8) instead of lane (128) — see
-            # the forward's pvt note
-            return dq + jax.lax.dot_general(
-                k, ds, (((0,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
         return dq + jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    if pvt:
-        dq_t = jax.lax.fori_loop(0, num_k, body, jnp.zeros((d, bq), jnp.float32))
-        dq_ref[0] = (jnp.transpose(dq_t) * scale).astype(dq_ref.dtype)
-    else:
-        dq = jax.lax.fori_loop(0, num_k, body, jnp.zeros((bq, d), jnp.float32))
-        dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+    dq = jax.lax.fori_loop(0, num_k, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, *, scale, block_q, sq, pvt=False):
+                    dk_ref, dv_ref, *, scale, block_q, sq):
     k = k_ref[0].astype(jnp.float32)  # [bk, D]
     k2 = k * (scale * LOG2E)  # exp2-domain logits operand
     v = v_ref[0].astype(jnp.float32)
@@ -538,34 +441,19 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = p * (dp - delta)  # [bq, bk]
-        if pvt:
-            # transposed accumulators [d, bk]: d on the streaming dim (see
-            # the forward's pvt note) — dense N = bk on both matmuls
-            dv = dv + jax.lax.dot_general(
-                do, p, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dk = dk + jax.lax.dot_general(
-                q, ds, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        else:
-            dv = dv + jax.lax.dot_general(
-                p, do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dk = dk + jax.lax.dot_general(
-                ds, q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        dv = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         return dk, dv
 
-    shape = (d, bk) if pvt else (bk, d)
-    dk = jnp.zeros(shape, jnp.float32)
-    dv = jnp.zeros(shape, jnp.float32)
+    dk = jnp.zeros((bk, d), jnp.float32)
+    dv = jnp.zeros((bk, d), jnp.float32)
     dk, dv = jax.lax.fori_loop(0, num_q, body, (dk, dv))
-    if pvt:
-        dk, dv = jnp.transpose(dk), jnp.transpose(dv)
     dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
@@ -581,10 +469,8 @@ def _flash_backward(scale, res, g):
     lsef = lse.reshape(gb, 1, sq)
     delta = jnp.sum(of.astype(jnp.float32) * gf.astype(jnp.float32), axis=-1)[:, None, :]
 
-    pvt = _pvt_enabled(d)
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k, sk=sk,
-                          pvt=pvt),
+        functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k, sk=sk),
         grid=(gb, sq // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
@@ -600,8 +486,7 @@ def _flash_backward(scale, res, g):
     )(qf, kf, vf, gf, lsef, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, block_q=block_q, sq=sq,
-                          pvt=pvt),
+        functools.partial(_bwd_dkv_kernel, scale=scale, block_q=block_q, sq=sq),
         grid=(gb, sk // block_k),
         in_specs=[
             pl.BlockSpec((1, sq, d), lambda i, j: (i, 0, 0)),
@@ -707,11 +592,9 @@ def dot_product_attention(
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     sq, sk = q.shape[2], k.shape[2]
-    import os
-
     flash_ok = (
         use_flash
-        and not os.environ.get("CTRLORA_NO_FLASH")
+        and flags().use_flash
         and _on_tpu()
         and sk >= 256
         and _pick_block(sq) is not None
@@ -740,11 +623,9 @@ def dot_product_attention_bshd(
         scale = 1.0 / math.sqrt(q.shape[-1])
     sq, sk = q.shape[1], k.shape[1]
     h, d = q.shape[2], q.shape[3]
-    import os
-
     flash_ok = (
         use_flash
-        and not os.environ.get("CTRLORA_NO_FLASH")
+        and flags().use_flash
         and _on_tpu()
         and sk >= 256
         and _pick_block(sq) is not None

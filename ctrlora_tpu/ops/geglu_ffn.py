@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from ctrlora_tpu.ops.kernel_flags import flags
+
 
 def _mxu_dtype(x) -> jnp.dtype:
     return jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
@@ -99,19 +101,20 @@ def _reference(x, w1, b1, w2, b2):
 
 
 def geglu_ffn_ok(x: jnp.ndarray, w1: jnp.ndarray) -> bool:
-    import os
-
-    # Default-on ON ACCELERATORS since the 2026-08-18 ledger A/B: 4.40 vs
-    # 4.59 s/batch (-4.3% end-to-end) with bit-identical sampling checksums.
-    # CTRLORA_GEGLU_FFN=0 force-disables for same-session comparisons;
-    # =1 forces the kernel even off-TPU (interpret mode — CPU parity tests).
-    flag = os.environ.get("CTRLORA_GEGLU_FFN", "")
-    if flag == "0":
+    # Default-on ON TPU since the 2026-08-18 ledger A/B: 4.40 vs 4.59
+    # s/batch (-4.3% end-to-end) with bit-identical sampling checksums.
+    # CTRLORA_KERNELS=geglu=0 force-disables for same-session comparisons;
+    # geglu=1 forces the kernel even off-TPU (interpret mode — CPU parity
+    # tests). The default gates on the same on-TPU check as the flash
+    # kernels (accelerator backend AND pltpu importable): a non-TPU
+    # accelerator would otherwise take an untested Mosaic lowering.
+    forced = flags().geglu_ffn
+    if forced is False:
         return False
-    if not flag:
-        from ctrlora_tpu.utils.platform import on_accelerator
+    if forced is None:
+        from ctrlora_tpu.utils.platform import on_tpu
 
-        if not on_accelerator():
+        if not on_tpu():
             return False
     c, f2 = w1.shape
     f = f2 // 2

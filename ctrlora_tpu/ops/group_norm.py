@@ -67,9 +67,9 @@ def _pick_hw_block(hw: int, c: int) -> Optional[int]:
 
 
 def _on_tpu() -> bool:
-    from ctrlora_tpu.utils.platform import on_accelerator
+    from ctrlora_tpu.utils.platform import on_tpu
 
-    return on_accelerator()
+    return on_tpu()
 
 
 def fused_group_norm(
@@ -155,12 +155,15 @@ def fused_group_norm(
 
 
 def group_norm_ok(x: jnp.ndarray, num_groups: int) -> bool:
-    """Whether the fused path can handle this shape on this backend."""
-    import os
+    """Whether the fused path can handle this shape on this backend.
+    CTRLORA_KERNELS=fused_gn=0 force-disables; fused_gn=1 forces interpret
+    mode off-TPU (CPU parity tests)."""
+    from ctrlora_tpu.ops.kernel_flags import flags
 
-    if os.environ.get("CTRLORA_NO_FUSED_GN"):
+    forced = flags().fused_group_norm
+    if forced is False:
         return False
-    if not _on_tpu():
+    if forced is None and not _on_tpu():
         return False
     c = x.shape[-1]
     hw = 1

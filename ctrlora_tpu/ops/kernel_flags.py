@@ -1,0 +1,132 @@
+"""Kernel-variant configuration: one place for every Pallas-kernel knob.
+
+Perf history lives in perf/ledger.json; every default below is the winner of
+an interleaved on-chip A/B there. Losers are deleted, not flagged — the only
+runtime configuration surface is:
+
+  * ``CTRLORA_KERNELS`` — ONE documented env escape hatch, a comma-separated
+    token list parsed once per lookup (e.g. ``CTRLORA_KERNELS=noflash`` or
+    ``CTRLORA_KERNELS=safemax,bq=256``). Tokens:
+
+      noflash        disable the Pallas flash-attention kernels (XLA softmax)
+      bhsd           attention via the [B,H,S,D] transpose layout instead of
+                     the hd-packed [B,S,H*D] default (ledger 2026-08-18:
+                     packed 4.126 s/batch vs 4.399)
+      safemax        exact per-row max guard in flash softmax instead of the
+                     clamped-exp2 default (numerics debugging; ledger
+                     2026-08-17: clamp is 1.3% faster end-to-end)
+      fp32mm         force fp32 MXU operands in flash attention
+      geglu=0|1      force the fused GEGLU-FFN kernel off/on (default: on
+                     when on TPU; =1 forces interpret mode off-TPU for tests)
+      fused_gn=0|1   force the fused GroupNorm kernel off/on (same default)
+      bq=N bk=N      flash q/k block-size overrides (perf sweeps)
+      packed_bq=N    hd-packed kernel q block override, skipping the VMEM
+                     estimate (perf sweeps; trusts the raised per-kernel cap)
+
+  * :func:`override` / :func:`set_flags` — programmatic overrides for tests
+    and the perf/ A/B harnesses (same fields, no subprocess needed).
+
+Everything here is trace-time only: flags are read while JAX traces a
+function, so changing them between ``jit`` compilations (as perf/ab_sampling
+does) yields differently-compiled executables from one process.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import os
+import warnings
+from typing import Iterator, Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelFlags:
+    use_flash: bool = True
+    attn_layout: str = "bshd"  # "bshd" (hd-packed) | "bhsd" (transpose path)
+    safemax: bool = False
+    fp32_matmul: bool = False
+    geglu_ffn: Optional[bool] = None  # None -> on-TPU default
+    fused_group_norm: Optional[bool] = None  # None -> on-TPU default
+    block_q: Optional[int] = None
+    block_k: Optional[int] = None
+    packed_block_q: Optional[int] = None
+
+
+_ENV = "CTRLORA_KERNELS"
+_BOOL_FIELDS = {"geglu": "geglu_ffn", "fused_gn": "fused_group_norm"}
+_INT_FIELDS = {"bq": "block_q", "bk": "block_k", "packed_bq": "packed_block_q"}
+_parse_cache: dict[str, KernelFlags] = {}
+_overrides: dict[str, object] = {}
+
+
+def _parse(spec: str) -> KernelFlags:
+    kw: dict[str, object] = {}
+    for raw in spec.split(","):
+        tok = raw.strip()
+        if not tok:
+            continue
+        if tok == "noflash":
+            kw["use_flash"] = False
+        elif tok == "bhsd":
+            kw["attn_layout"] = "bhsd"
+        elif tok == "safemax":
+            kw["safemax"] = True
+        elif tok == "fp32mm":
+            kw["fp32_matmul"] = True
+        elif "=" in tok:
+            key, _, val = tok.partition("=")
+            if key in _BOOL_FIELDS and val in ("0", "1"):
+                kw[_BOOL_FIELDS[key]] = val == "1"
+            elif key in _INT_FIELDS:
+                try:
+                    n = int(val)
+                except ValueError:
+                    warnings.warn(f"ignoring malformed {_ENV} token {tok!r}")
+                    continue
+                if n > 0:
+                    kw[_INT_FIELDS[key]] = n
+                else:
+                    warnings.warn(f"ignoring non-positive {_ENV} token {tok!r}")
+            else:
+                warnings.warn(f"ignoring unknown {_ENV} token {tok!r}")
+        else:
+            warnings.warn(f"ignoring unknown {_ENV} token {tok!r}")
+    return KernelFlags(**kw)  # type: ignore[arg-type]
+
+
+def flags() -> KernelFlags:
+    """Current kernel flags: env spec, then programmatic overrides on top."""
+    spec = os.environ.get(_ENV, "")
+    base = _parse_cache.get(spec)
+    if base is None:
+        base = _parse(spec)
+        _parse_cache[spec] = base
+    if _overrides:
+        return dataclasses.replace(base, **_overrides)  # type: ignore[arg-type]
+    return base
+
+
+def set_flags(**kw) -> None:
+    """Set process-wide overrides (perf harnesses). Unknown fields raise."""
+    names = {f.name for f in dataclasses.fields(KernelFlags)}
+    for key in kw:
+        if key not in names:
+            raise TypeError(f"unknown kernel flag {key!r} (valid: {sorted(names)})")
+    _overrides.update(kw)
+
+
+def clear_flags() -> None:
+    _overrides.clear()
+
+
+@contextlib.contextmanager
+def override(**kw) -> Iterator[None]:
+    """Scoped flag overrides (tests, FLOP tracing)."""
+    saved = dict(_overrides)
+    set_flags(**kw)
+    try:
+        yield
+    finally:
+        _overrides.clear()
+        _overrides.update(saved)

@@ -49,17 +49,51 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def init_distributed() -> None:
-    """Multi-host bootstrap (no-op on a single host)."""
+# Env vars that declare "this is a multi-host job" for init_distributed.
+_COORDINATOR_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",       # jax.distributed's own env contract
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",  # multi-slice TPU runtimes
+)
+
+
+def init_distributed(coordinator_address: Optional[str] = None) -> bool:
+    """Multi-host bootstrap. Returns True when distributed mode is active.
+
+    Policy (fail LOUD, never degrade): a coordinator that is *configured* —
+    via the argument or any of the standard env vars — but *unreachable*
+    raises RuntimeError instead of silently falling back to single-host. A
+    silent fallback would start a 1-host training run that produces wrong
+    results (each host would train on its own shard with no gradient
+    exchange). Only the genuinely-unconfigured case (no argument, no env)
+    is a no-op single-host run.
+    """
+    import os
+
     try:
         if jax.process_count() > 1:
-            return  # already initialized
+            return True  # already initialized
     except RuntimeError:
         pass
+    configured = coordinator_address or any(
+        os.environ.get(v) for v in _COORDINATOR_ENV_VARS
+    )
+    if not configured:
+        return False  # single-host / local run
     try:
-        jax.distributed.initialize()
-    except Exception:
-        pass  # single-host / local run
+        jax.distributed.initialize(coordinator_address=coordinator_address)
+    except Exception as e:
+        src = coordinator_address or ", ".join(
+            f"{v}={os.environ[v]}" for v in _COORDINATOR_ENV_VARS
+            if os.environ.get(v)
+        )
+        raise RuntimeError(
+            f"multi-host coordinator is configured ({src}) but "
+            "jax.distributed.initialize() failed; refusing to silently "
+            "degrade to a single-host run (it would train without gradient "
+            "exchange). Unset the coordinator env to run single-host."
+        ) from e
+    return True
 
 
 def shard_largest_axis(mesh: Mesh, tree: Any, min_size: int = 2**14) -> Any:

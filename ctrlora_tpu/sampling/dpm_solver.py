@@ -19,9 +19,17 @@ Grid covered (the reference's `DPMSolverSampler` maps to algorithm
     0.995, thresholding_max_val; reference dpm_solver_pytorch.py
     `dynamic_thresholding_fn`);
   * time-uniform skip (the sampler wrapper's only mode for discrete
-    schedules).
-Singlestep method and logSNR/quadratic skips are not ported: no reference
-surface reaches them (sampler wrapper hardcodes multistep/time_uniform).
+    schedules);
+  * the singlestep method ("DPM-Solver-fast", orders 1-3) via
+    dpm_solver_singlestep_sample below — uniform-order blocks run under one
+    lax.scan (each scan step = `order` chained model evals), the <=2
+    lower-order tail blocks are unrolled. Intermediate evaluation points
+    (inverse_lambda of lambda_s + r*h) are snapped to the nearest discrete
+    timestep and the coefficients recomputed from the ACTUAL table lambdas
+    at the snapped points, so the update stays exactly self-consistent.
+logSNR/quadratic skips and the adaptive-step solver are not ported: no
+reference surface reaches them (the sampler wrapper hardcodes
+multistep/time_uniform; see PARITY.md).
 
 Supports eps- and v-parameterization and classifier-free guidance.
 """
@@ -190,4 +198,237 @@ def dpm_solver_sample(
         (x, jnp.zeros_like(x), jnp.zeros_like(x), jnp.float32(1.0), jnp.float32(1.0)),
         ((ts_eval, a_cur, s_cur, a_nxt, s_nxt, h_seq, ord_seq), rows_xs),
     )
+    return x
+
+
+def singlestep_orders(steps: int, order: int) -> list:
+    """Per-block solver orders for "DPM-Solver-fast" (reference
+    dpm_solver.py:436-456): blocks of `order` model evaluations, with a
+    lower-order tail so the total evaluation count equals `steps`."""
+    assert order in (1, 2, 3), order
+    if order == 3:
+        K = steps // 3 + 1
+        if steps % 3 == 0:
+            return [3] * (K - 2) + [2, 1]
+        if steps % 3 == 1:
+            return [3] * (K - 1) + [1]
+        return [3] * (K - 1) + [2]
+    if order == 2:
+        if steps % 2 == 0:
+            return [2] * (steps // 2)
+        return [2] * (steps // 2) + [1]
+    return [1] * steps
+
+
+def _singlestep_block_coeffs(lam, alpha, sigma, s_idx, t_idx, o, data_pred):
+    """Host-side (float64) coefficients for ONE singlestep block from
+    discrete node s_idx to t_idx with `o` model evaluations.
+
+    Mirrors the reference updates (dpm_solver.py:469-513 order 1,
+    :515-596 order 2 r1=1/2, :599-720 order 3 r1=1/3 r2=2/3, all
+    solver_type='dpm_solver' — the sample() default). Intermediate points
+    are the nearest discrete timesteps to inverse_lambda(lam_s + r*h); the
+    effective r's are recomputed from the snapped lambdas so each formula
+    holds exactly for the grid actually evaluated.
+
+    Returns (ts[o], av[o], sv[o], A[o], B[o], C[o]): model evals run at
+    ts[j] (with av/sv for the eps<->x0 conversion), and produced state j is
+    A[j]*x + B[j]*m_s + C[j]*(m_last - m_s); state o-1 is x_t.
+    """
+    lam_s, lam_t = lam[s_idx], lam[t_idx]
+    h = lam_t - lam_s
+    assert h > 0 and s_idx - t_idx >= o, (s_idx, t_idx, o)
+
+    def nearest(target_lam, lo, hi):
+        # lam is monotone in t on [t_idx, s_idx]; snap within (t, s)
+        seg = lam[lo:hi]
+        return lo + int(np.argmin(np.abs(seg - target_lam)))
+
+    ts = [s_idx]
+    if o >= 2:
+        r1_nom = 0.5 if o == 2 else 1.0 / 3.0
+        ts.append(nearest(lam_s + r1_nom * h, t_idx + 1, s_idx))
+    if o == 3:
+        ts.append(nearest(lam_s + (2.0 / 3.0) * h, t_idx + 1, ts[1]))
+        ts[1], ts[2] = ts[2], ts[1]  # lam decreasing in idx: s1 has larger idx
+    assert len(set(ts)) == o, f"degenerate block {ts} (grid too coarse)"
+
+    a = [alpha[i] for i in ts]
+    s = [sigma[i] for i in ts]
+    A = np.zeros(o)
+    B = np.zeros(o)
+    C = np.zeros(o)
+    if o == 1:
+        if data_pred:
+            A[0] = sigma[t_idx] / s[0]
+            B[0] = -alpha[t_idx] * np.expm1(-h)
+        else:
+            A[0] = alpha[t_idx] / a[0]
+            B[0] = -sigma[t_idx] * np.expm1(h)
+    else:
+        r1 = (lam[ts[1]] - lam_s) / h
+        phi_1m = np.expm1(-h)
+        phi_1p = np.expm1(h)
+        if data_pred:
+            A[0] = s[1] / s[0]
+            B[0] = -a[1] * np.expm1(-r1 * h)
+        else:
+            A[0] = a[1] / a[0]
+            B[0] = -s[1] * np.expm1(r1 * h)
+        if o == 2:
+            if data_pred:
+                A[1] = sigma[t_idx] / s[0]
+                B[1] = -alpha[t_idx] * phi_1m
+                C[1] = -(0.5 / r1) * alpha[t_idx] * phi_1m
+            else:
+                A[1] = alpha[t_idx] / a[0]
+                B[1] = -sigma[t_idx] * phi_1p
+                C[1] = -(0.5 / r1) * sigma[t_idx] * phi_1p
+        else:
+            r2 = (lam[ts[2]] - lam_s) / h
+            if data_pred:
+                phi_22 = np.expm1(-r2 * h) / (r2 * h) + 1.0
+                phi_2 = phi_1m / h + 1.0
+                A[1] = s[2] / s[0]
+                B[1] = -a[2] * np.expm1(-r2 * h)
+                C[1] = (r2 / r1) * a[2] * phi_22
+                A[2] = sigma[t_idx] / s[0]
+                B[2] = -alpha[t_idx] * phi_1m
+                C[2] = (1.0 / r2) * alpha[t_idx] * phi_2
+            else:
+                phi_22 = np.expm1(r2 * h) / (r2 * h) - 1.0
+                phi_2 = phi_1p / h - 1.0
+                A[1] = a[2] / a[0]
+                B[1] = -s[2] * np.expm1(r2 * h)
+                C[1] = -(r2 / r1) * s[2] * phi_22
+                A[2] = alpha[t_idx] / a[0]
+                B[2] = -sigma[t_idx] * phi_1p
+                C[2] = -(1.0 / r2) * sigma[t_idx] * phi_2
+    return ts, a, s, A, B, C
+
+
+def dpm_solver_singlestep_sample(
+    pipe: CtrLoraPipeline,
+    params: Params,
+    rng: jax.Array,
+    context: jnp.ndarray,
+    uncond_context: Optional[jnp.ndarray],
+    conds: Optional[Sequence[Conditioning]],
+    latent_shape: Sequence[int],
+    cfg: DDIMConfig = DDIMConfig(),
+    control_scales: Optional[jnp.ndarray] = None,
+    x_T: Optional[jnp.ndarray] = None,
+    ip_context: Optional[jnp.ndarray] = None,
+    order: int = 2,
+    algorithm: str = "dpmsolver++",
+    thresholding: bool = False,
+    dynamic_thresholding_ratio: float = 0.995,
+    thresholding_max_val: float = 1.0,
+) -> jnp.ndarray:
+    """Singlestep ("DPM-Solver-fast") sampler: cfg.steps model evaluations
+    grouped into blocks of `order` (reference dpm_solver.py:827-853 with
+    sample() method='singlestep', solver_type='dpm_solver'). Returns final
+    latents [B, h, w, c]."""
+    assert order in (1, 2, 3), order
+    assert algorithm in ("dpmsolver++", "dpmsolver"), algorithm
+    data_pred = algorithm == "dpmsolver++"
+    sched = pipe.schedule
+    T = len(sched.alphas_cumprod)
+    steps = cfg.steps
+
+    rng, init_rng = jax.random.split(rng)
+    x = (
+        x_T
+        if x_T is not None
+        else jax.random.normal(init_rng, tuple(latent_shape), jnp.float32)
+    )
+
+    eps_fn = make_guided_eps_fn(
+        pipe, params, context, uncond_context, conds, cfg.guidance_scale,
+        control_scales, cfg.guess_mode, ip_context,
+    )
+
+    ac = np.asarray(sched.alphas_cumprod, np.float64)
+    alpha = np.sqrt(ac)
+    sigma = np.sqrt(1.0 - ac)
+    lam = np.log(alpha) - np.log(sigma)
+
+    # outer nodes: time-uniform fine grid of `steps` steps, block boundaries
+    # at cumsum(orders) (reference dpm_solver.py:457-461, skip time_uniform)
+    fine = np.unique(np.round(np.linspace(T - 1, 0, steps + 1)).astype(np.int64))[::-1]
+    orders = singlestep_orders(len(fine) - 1, order)
+    bounds = np.cumsum([0] + orders)
+    outer = fine[bounds]
+
+    v_param = pipe.cfg.diffusion.parameterization == "v"
+
+    def m_fn(xx, t_idx, a_t, s_t):
+        out = eps_fn(xx, t_idx, None)
+        if v_param:
+            x0 = a_t * xx - s_t * out
+            eps = s_t * xx + a_t * out
+        else:
+            eps = out
+            x0 = (xx - s_t * eps) / a_t
+        if data_pred:
+            if thresholding:
+                x0 = _dynamic_threshold(
+                    x0, dynamic_thresholding_ratio, thresholding_max_val
+                )
+            return x0
+        return eps
+
+    def block_apply(xx, o, ts, av, sv, A, B, C):
+        """One singlestep block, `o` static: chained model evals."""
+        m0 = m_fn(xx, ts[0], av[0], sv[0])
+        m_last = m0
+        out = xx
+        for j in range(o):
+            out = A[j] * xx + B[j] * m0 + C[j] * (m_last - m0)
+            if j < o - 1:
+                m_last = m_fn(out, ts[j + 1], av[j + 1], sv[j + 1])
+        return out
+
+    # uniform prefix (all blocks of `order`) under one lax.scan; <=2 tail
+    # blocks of lower order unrolled
+    n_prefix = 0
+    while n_prefix < len(orders) and orders[n_prefix] == orders[0]:
+        n_prefix += 1
+    o0 = orders[0]
+
+    coeffs = [
+        _singlestep_block_coeffs(
+            lam, alpha, sigma, int(outer[i]), int(outer[i + 1]), orders[i],
+            data_pred,
+        )
+        for i in range(len(orders))
+    ]
+
+    if n_prefix > 0:
+        stack = lambda sel, dt: jnp.asarray(
+            np.stack([np.asarray(sel(c), dt) for c in coeffs[:n_prefix]])
+        )
+        xs = (
+            stack(lambda c: c[0], np.int32),
+            stack(lambda c: c[1], np.float32),
+            stack(lambda c: c[2], np.float32),
+            stack(lambda c: c[3], np.float32),
+            stack(lambda c: c[4], np.float32),
+            stack(lambda c: c[5], np.float32),
+        )
+
+        def scan_step(xx, inp):
+            ts, av, sv, A, B, C = inp
+            return block_apply(xx, o0, ts, av, sv, A, B, C), None
+
+        x, _ = jax.lax.scan(scan_step, x, xs)
+
+    for i in range(n_prefix, len(orders)):
+        ts, av, sv, A, B, C = coeffs[i]
+        x = block_apply(
+            x, orders[i], jnp.asarray(ts, jnp.int32),
+            [jnp.float32(v) for v in av], [jnp.float32(v) for v in sv],
+            [jnp.float32(v) for v in A], [jnp.float32(v) for v in B],
+            [jnp.float32(v) for v in C],
+        )
     return x

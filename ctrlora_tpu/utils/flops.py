@@ -83,9 +83,9 @@ def jaxpr_flops(jaxpr: Any) -> float:
 def fn_flops(fn, *args, **kwargs) -> float:
     """FLOPs of one call of `fn(*args)` (traced, not executed).
 
-    Pallas kernels trace as opaque custom calls; trace with
-    CTRLORA_NO_FLASH=1 (or pass use_flash=False paths) if kernel FLOPs must
-    be included — flash attention FLOPs equal the XLA-attention FLOPs it
+    Pallas kernels trace as opaque custom calls; trace under
+    kernel_flags.override(use_flash=False) if kernel FLOPs must be
+    included — flash attention FLOPs equal the XLA-attention FLOPs it
     replaces, so counting the XLA variant is exact.
     """
     closed = jax.make_jaxpr(fn)(*args, **kwargs)

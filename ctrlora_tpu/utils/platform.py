@@ -69,3 +69,17 @@ def on_accelerator() -> bool:
 def pallas_interpret() -> bool:
     """Interpret-mode flag for pl.pallas_call: True off-accelerator."""
     return not on_accelerator()
+
+
+def on_tpu() -> bool:
+    """True when new computations land on a TPU backend with Mosaic support
+    (accelerator backend AND pallas.tpu importable). The Pallas kernels'
+    compiled-default gate: a non-TPU accelerator must not take an untested
+    Mosaic lowering by default."""
+    if not on_accelerator():
+        return False
+    try:
+        from jax.experimental.pallas import tpu  # noqa: F401
+    except Exception:  # pragma: no cover
+        return False
+    return True

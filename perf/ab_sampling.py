@@ -5,11 +5,20 @@ This compiles every variant in ONE process and times them interleaved:
 any host drift hits all variants equally.
 
 Variants:
-  fused      — shipped default: LoRA folded into base weights (lora_fuse)
+  fused      — shipped default: LoRA folded into base weights (lora_fuse),
+               hd-packed BSHD flash attention, fused GEGLU FFN + GroupNorm
+               (every ledger winner is a default — the baseline includes
+               them all)
   nofuse     — runtime-LoRA control branch (lora_idx path)
   unroll2    — fused + lax.scan body unrolled 2x (while-loop overhead probe)
   chunk      — fused + flash attention forced to 512-chunk online softmax
-               (vs the single-k-sweep VMEM heuristic, d745523 suspect)
+  noffn      — fused GEGLU FFN kernel OFF (control: isolates the kernel's
+               contribution now that the default includes it)
+  bhsd       — attention via the transpose layout (control for the packed
+               BSHD default)
+
+Kernel variants are selected via ctrlora_tpu.ops.kernel_flags.set_flags
+between compiles (trace-time flags -> distinct executables in one process).
 
 Outputs a checksum (per-image mean) instead of the 4x512x512x3 bitmap so the
 remote-tunnel fetch (~12.6MB) doesn't pollute the timing; decode still runs.
@@ -43,7 +52,13 @@ def main():
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--variants", default="fused,nofuse,unroll2,chunk")
+    p.add_argument("--note", default="",
+                   help="REQUIRED provenance line for the ledger row: what "
+                        "changed and why this A/B ran")
     args = p.parse_args()
+    if not args.note:
+        p.error("--note is required: say what changed and why this A/B ran "
+                "(ledger provenance discipline, VERDICT r3 weak #7)")
 
     from ctrlora_tpu.configs import ctrlora_inference_config
     from ctrlora_tpu.lora_fuse import cast_params_for_inference, fuse_control_tree
@@ -98,58 +113,42 @@ def main():
         return sample
 
     specs = {
-        "fused": dict(use_fused=True, unroll=1, env=None),
-        "nofuse": dict(use_fused=False, unroll=1, env=None),
-        "unroll2": dict(use_fused=True, unroll=2, env=None),
-        "chunk": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_BK", "512")),
-        "bq256": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_BQ", "256")),
+        "fused": dict(use_fused=True, unroll=1, flags=None),
+        "nofuse": dict(use_fused=False, unroll=1, flags=None),
+        "unroll2": dict(use_fused=True, unroll=2, flags=None),
+        "chunk": dict(use_fused=True, unroll=1, flags=dict(block_k=512)),
+        "bq256": dict(use_fused=True, unroll=1, flags=dict(block_q=256)),
         # force a 512-row q block through the single sweep (the VMEM estimate
         # rejects it at 15.75MB vs the 15.5MB limit; measure before trusting)
         "bq512sweep": dict(use_fused=True, unroll=1,
-                           env=(("CTRLORA_FLASH_BQ", "512"),
-                                ("CTRLORA_FLASH_BK", "4096"))),
+                           flags=dict(block_q=512, block_k=4096)),
         # decomposition probes: per-step slope, CFG cost, CN cost, flash gain
-        "nohoist": dict(use_fused=True, unroll=1, env=None, hoist=False),
-        # default flash = v2 (bf16 MXU, ones-augmented PV, fused clamped
-        # exp2+cast); safemax = exact per-row max guard instead of the clamp
-        "safemax": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_SAFEMAX", "1")),
-        "ffn": dict(use_fused=True, unroll=1, env=("CTRLORA_GEGLU_FFN", "1")),
-        "bshd": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_BSHD", "1")),
-        # pvt = PV-transposed flash epilogue (o^T = V_aug . P^T): puts the
-        # d+1-lane pad waste on the MXU streaming dim — see _fwd_kernel
-        "pvt": dict(use_fused=True, unroll=1, env=("CTRLORA_FLASH_PVT", "1")),
-        "bshdpvt": dict(use_fused=True, unroll=1,
-                        env=(("CTRLORA_FLASH_BSHD", "1"),
-                             ("CTRLORA_FLASH_PVT", "1"))),
-        "all3": dict(use_fused=True, unroll=1,
-                     env=(("CTRLORA_FLASH_BSHD", "1"),
-                          ("CTRLORA_FLASH_PVT", "1"),
-                          ("CTRLORA_GEGLU_FFN", "1"))),
-        "pvtffn": dict(use_fused=True, unroll=1,
-                       env=(("CTRLORA_FLASH_PVT", "1"),
-                            ("CTRLORA_GEGLU_FFN", "1"))),
-        "bshdffn": dict(use_fused=True, unroll=1,
-                        env=(("CTRLORA_FLASH_BSHD", "1"),
-                             ("CTRLORA_GEGLU_FFN", "1"))),
-        "steps10": dict(use_fused=True, unroll=1, env=None, n_steps=10),
-        "nocfg": dict(use_fused=True, unroll=1, env=None, guidance=1.0),
-        "nocontrol": dict(use_fused=True, unroll=1, env=None, control=False),
-        "noflash": dict(use_fused=True, unroll=1, env=("CTRLORA_NO_FLASH", "1")),
+        "nohoist": dict(use_fused=True, unroll=1, flags=None, hoist=False),
+        # default flash = hd-packed BSHD, bf16 MXU, ones-augmented PV, fused
+        # clamped exp2+cast; safemax = exact per-row max guard vs the clamp
+        "safemax": dict(use_fused=True, unroll=1, flags=dict(safemax=True)),
+        # controls: the default now INCLUDES the GEGLU kernel and the packed
+        # BSHD layout, so the A/B direction is default-vs-disabled
+        "noffn": dict(use_fused=True, unroll=1, flags=dict(geglu_ffn=False)),
+        "bhsd": dict(use_fused=True, unroll=1, flags=dict(attn_layout="bhsd")),
+        "nofusedgn": dict(use_fused=True, unroll=1,
+                          flags=dict(fused_group_norm=False)),
+        "steps10": dict(use_fused=True, unroll=1, flags=None, n_steps=10),
+        "nocfg": dict(use_fused=True, unroll=1, flags=None, guidance=1.0),
+        "nocontrol": dict(use_fused=True, unroll=1, flags=None, control=False),
+        "noflash": dict(use_fused=True, unroll=1, flags=dict(use_flash=False)),
     }
     names = [v for v in args.variants.split(",") if v in specs]
 
-    def _env_pairs(env):
-        if not env:
-            return ()
-        return env if isinstance(env[0], tuple) else (env,)
+    from ctrlora_tpu.ops import kernel_flags
 
     compiled = {}
     checksums = {}
     for name in names:
         s = specs[name]
-        for k, v in _env_pairs(s["env"]):
-            os.environ[k] = v
         try:
+            if s["flags"]:
+                kernel_flags.set_flags(**s["flags"])
             t0 = time.perf_counter()
             fn = make_sample(
                 s["use_fused"], s["unroll"], s.get("n_steps"),
@@ -159,8 +158,7 @@ def main():
             c = jax.jit(fn).lower(params, fused, hint, ids, rng).compile()
             print(f"[{name}] compiled in {time.perf_counter()-t0:.0f}s", flush=True)
         finally:
-            for k, _ in _env_pairs(s["env"]):
-                os.environ.pop(k, None)
+            kernel_flags.clear_flags()
         # warm + 2 solo reps right away (partial results if the run dies)
         warm = np.asarray(c(params, fused, hint, ids, rng))
         checksums[name] = warm
@@ -213,6 +211,7 @@ def main():
         "when": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"),
         "workload": f"512x512 ddim{args.steps} b{args.batch} sampling",
         "interleaved": True,
+        "note": args.note,
         "results": out,
     })
     json.dump(ledger, open(ledger_path, "w"), indent=1)

@@ -18,14 +18,12 @@ import numpy as np
 REPS = 30
 
 
-def time_one(bq, bk, pvt=False):
-    os.environ["CTRLORA_FLASH_BQ"] = str(bq)
-    os.environ["CTRLORA_FLASH_BK"] = str(bk)
-    if pvt:
-        os.environ["CTRLORA_FLASH_PVT"] = "1"
-    else:
-        os.environ.pop("CTRLORA_FLASH_PVT", None)
+def time_one(bq, bk):
+    from ctrlora_tpu.ops import kernel_flags
     from ctrlora_tpu.ops.flash_attention import dot_product_attention
+
+    kernel_flags.clear_flags()
+    kernel_flags.set_flags(block_q=bq, block_k=bk)
 
     rng = np.random.default_rng(0)
     b, h, s, d = 8, 8, 4096, 40
@@ -43,25 +41,24 @@ def time_one(bq, bk, pvt=False):
     try:
         np.asarray(j(q, k, v))
     except Exception as e:
-        print(f"  bq={bq:5d} bk={bk:5d} pvt={int(pvt)}   FAILED: {type(e).__name__}")
+        print(f"  bq={bq:5d} bk={bk:5d}   FAILED: {type(e).__name__}")
         return
     t0 = time.perf_counter()
     np.asarray(j(q, k, v))
     dt = (time.perf_counter() - t0) / REPS
-    print(f"  bq={bq:5d} bk={bk:5d} pvt={int(pvt)}  {dt*1e3:8.3f} ms", flush=True)
+    print(f"  bq={bq:5d} bk={bk:5d}  {dt*1e3:8.3f} ms", flush=True)
 
 
 def main():
     print("[8,8,4096,40] flash forward, block sweep:")
-    for bq, bk, pvt in [
-        (512, 4096, False),
-        (256, 4096, False),
-        (128, 4096, False),
-        (512, 2048, False),
-        (1024, 2048, False),
-        (512, 4096, True),
+    for bq, bk in [
+        (512, 4096),
+        (256, 4096),
+        (128, 4096),
+        (512, 2048),
+        (1024, 2048),
     ]:
-        time_one(bq, bk, pvt)
+        time_one(bq, bk)
 
 
 if __name__ == "__main__":

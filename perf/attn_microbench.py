@@ -68,40 +68,27 @@ def main():
         flops = 2 * 2 * b * h * sq * sk * d  # QK^T + PV, MAC = 2 FLOPs
 
         rows = []
-        KNOBS = ("CTRLORA_NO_FLASH", "CTRLORA_FLASH_SAFEMAX",
-                 "CTRLORA_FLASH_FP32MM", "CTRLORA_FLASH_BQ",
-                 "CTRLORA_FLASH_BK", "CTRLORA_FLASH_PVT")
-        for label, env in [
+        from ctrlora_tpu.ops import kernel_flags
+
+        for label, kf in [
             ("v2 default", {}),
-            ("v2 pvt", {"CTRLORA_FLASH_PVT": "1"}),
-            ("v2 pvt bq512", {"CTRLORA_FLASH_PVT": "1",
-                              "CTRLORA_FLASH_BQ": "512",
-                              "CTRLORA_FLASH_BK": str(sk)}),
-            ("v2 fp32-mxu", {"CTRLORA_FLASH_FP32MM": "1"}),
-            ("v2 safemax", {"CTRLORA_FLASH_SAFEMAX": "1"}),
-            ("v2 bq512-chunk", {"CTRLORA_FLASH_BQ": "512",
-                                "CTRLORA_FLASH_BK": "512"}),
-            ("xla fp32-softmax", {"CTRLORA_NO_FLASH": "1"}),
+            ("v2 fp32-mxu", {"fp32_matmul": True}),
+            ("v2 safemax", {"safemax": True}),
+            ("v2 bq512-chunk", {"block_q": 512, "block_k": 512}),
+            ("xla fp32-softmax", {"use_flash": False}),
         ]:
             if args.only and not any(
                 s.strip() and s.strip() in label for s in args.only.split(",")
             ):
                 continue
-            old = {kk: os.environ.get(kk) for kk in KNOBS}
-            for kk in KNOBS:
-                os.environ.pop(kk, None)
-            os.environ.update(env)
             try:
-                from ctrlora_tpu.ops.flash_attention import dot_product_attention
+                with kernel_flags.override(**kf):
+                    from ctrlora_tpu.ops.flash_attention import dot_product_attention
 
-                dt = time_attn(dot_product_attention, q, k, v, reps=args.reps)
+                    dt = time_attn(dot_product_attention, q, k, v, reps=args.reps)
                 rows.append((label, dt))
-            finally:
-                for kk, vv in old.items():
-                    if vv is None:
-                        os.environ.pop(kk, None)
-                    else:
-                        os.environ[kk] = vv
+            except Exception as e:
+                print(f"  {label}: FAILED {type(e).__name__}: {e}", flush=True)
         base = rows[0][1]
         print(f"\n{name}  [{b}x{h}x{sq}x{d}]  ({flops/1e9:.1f} GFLOP)")
         for label, dt in rows:

@@ -63,7 +63,9 @@ def main():
 
     run = lambda key: args.only in (None, key)
 
-    print(f"== GroupNorm32(+SiLU) ==   fused={'off' if os.environ.get('CTRLORA_NO_FUSED_GN') else 'on'}", flush=True)
+    from ctrlora_tpu.ops.kernel_flags import flags as _kflags
+
+    print(f"== GroupNorm32(+SiLU) ==   fused={'off' if _kflags().fused_group_norm is False else 'on'}", flush=True)
     for name, b, h, w, c in CASES if run("gn") else []:
         x = jnp.ones((b, h, w, c), jnp.bfloat16)
         mod = GroupNorm32(silu=True)

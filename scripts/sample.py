@@ -38,6 +38,8 @@ def main():
     p.add_argument("--sampler", type=str, default="ddim",
                    choices=["ddim", "plms", "dpm_solver"])
     p.add_argument("--dpm_order", type=int, default=2, choices=[1, 2, 3])
+    p.add_argument("--dpm_method", type=str, default="multistep",
+                   choices=["multistep", "singlestep"])
     p.add_argument("--dpm_algorithm", type=str, default="dpmsolver++",
                    choices=["dpmsolver++", "dpmsolver"])
     p.add_argument("--dpm_thresholding", action="store_true",
@@ -60,7 +62,9 @@ def main():
     from ctrlora_tpu.data.datasets import CustomDataset
     from ctrlora_tpu.pipeline import Conditioning, CtrLoraPipeline
     from ctrlora_tpu.sampling.ddim import DDIMConfig, ddim_sample
-    from ctrlora_tpu.sampling.dpm_solver import dpm_solver_sample
+    from ctrlora_tpu.sampling.dpm_solver import (
+        dpm_solver_sample, dpm_solver_singlestep_sample,
+    )
     from ctrlora_tpu.sampling.plms import plms_sample
     from ctrlora_tpu.utils.loading import load_ctrlora, load_lora_slot_into
     from ctrlora_tpu.utils import ckpt_torch as bridge
@@ -147,11 +151,16 @@ def main():
                 hz = pipe.encode_first_stage(params, hint)
                 import functools
 
+                dpm_fn = (
+                    dpm_solver_singlestep_sample
+                    if args.dpm_method == "singlestep"
+                    else dpm_solver_sample
+                )
                 sampler_fn = {
                     "ddim": ddim_sample,
                     "plms": plms_sample,
                     "dpm_solver": functools.partial(
-                        dpm_solver_sample, order=args.dpm_order,
+                        dpm_fn, order=args.dpm_order,
                         algorithm=args.dpm_algorithm,
                         thresholding=args.dpm_thresholding,
                     ),

@@ -101,10 +101,12 @@ def test_forward_bf16_mxu_matches_fp32_reference():
     )
 
 
-def test_forward_safemax_matches_default(monkeypatch):
+def test_forward_safemax_matches_default():
     """Softmax is shift-invariant for any constant: the default single-sweep
     (clamped exp2, no per-row max subtraction) must agree with the exact
-    max-guarded kernel (CTRLORA_FLASH_SAFEMAX=1)."""
+    max-guarded kernel (CTRLORA_KERNELS=safemax)."""
+    from ctrlora_tpu.ops.kernel_flags import override
+
     b, h, sq, d, sk = 1, 2, 256, 40, 256
     ks = jax.random.split(jax.random.PRNGKey(4), 3)
     q = jax.random.normal(ks[0], (b, h, sq, d))
@@ -113,8 +115,8 @@ def test_forward_safemax_matches_default(monkeypatch):
     out = flash_attention(q, k, v)
     ref = xla_attention(q, k, v, d**-0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
-    monkeypatch.setenv("CTRLORA_FLASH_SAFEMAX", "1")
-    guarded = flash_attention(q, k, v)
+    with override(safemax=True):
+        guarded = flash_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(guarded),
                                atol=2e-5, rtol=1e-4)
 
@@ -171,72 +173,50 @@ def test_backward_bshd_matches_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5, rtol=1e-3)
 
 
-def test_cross_attention_module_bshd_matches_default(monkeypatch):
-    """The module-level BSHD dispatch must be output-identical to the
-    transpose path (same params, same math, CPU fallback)."""
+def test_cross_attention_module_layouts_match():
+    """The module-level default (hd-packed BSHD layout) must be
+    output-identical to the CTRLORA_KERNELS=bhsd transpose path (same
+    params, same math, CPU fallback)."""
     from ctrlora_tpu.models.attention import CrossAttention
+    from ctrlora_tpu.ops.kernel_flags import flags, override
 
+    assert flags().attn_layout == "bshd"  # ledger winner is the default
     mod = CrossAttention(query_dim=64, heads=4, dim_head=16)
     x = jax.random.normal(jax.random.PRNGKey(7), (2, 256, 64))
     params = mod.init(jax.random.PRNGKey(8), x)["params"]
-    monkeypatch.delenv("CTRLORA_FLASH_BSHD", raising=False)
-    ref = mod.apply({"params": params}, x)
-    monkeypatch.setenv("CTRLORA_FLASH_BSHD", "1")
     out = mod.apply({"params": params}, x)
+    with override(attn_layout="bhsd"):
+        ref = mod.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
 
 
-def test_forward_pvt_matches_xla(monkeypatch):
-    """PV-transposed epilogue (CTRLORA_FLASH_PVT=1): logits computed as
-    K.Q^T, PV as dot(V_aug, P^T) — must match the XLA reference on both the
-    single-sweep (skip-max) and chunked (max-guarded) paths."""
-    monkeypatch.setenv("CTRLORA_FLASH_PVT", "1")
-    for sk in (256, 1024):  # 256 single-sweeps; 1024 exercises chunking
-        monkeypatch.setenv("CTRLORA_FLASH_BK", "256" if sk == 1024 else "")
-        b, h, sq, d = 1, 2, 256, 40
-        ks = jax.random.split(jax.random.PRNGKey(9), 3)
-        q = jax.random.normal(ks[0], (b, h, sq, d))
-        k = jax.random.normal(ks[1], (b, h, sk, d))
-        v = jax.random.normal(ks[2], (b, h, sk, d))
-        out = flash_attention(q, k, v)
-        ref = xla_attention(q, k, v, d**-0.5)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   atol=2e-5, rtol=1e-4)
+def test_kernel_flags_env_parse(monkeypatch):
+    """CTRLORA_KERNELS is the single env escape hatch; malformed tokens must
+    warn and be ignored, never raise (ADVICE r3: PACKED_BQ=0 used to
+    ZeroDivisionError at trace time)."""
+    from ctrlora_tpu.ops import kernel_flags
 
+    monkeypatch.setenv(
+        "CTRLORA_KERNELS", "noflash,safemax,bq=256,geglu=0,fused_gn=1"
+    )
+    fl = kernel_flags.flags()
+    assert not fl.use_flash and fl.safemax and fl.block_q == 256
+    assert fl.geglu_ffn is False and fl.fused_group_norm is True
 
-def test_forward_pvt_bshd_matches_xla(monkeypatch):
-    from ctrlora_tpu.ops.flash_attention import _flash_attention_bshd
+    import warnings
 
-    monkeypatch.setenv("CTRLORA_FLASH_PVT", "1")
-    b, sq, h, d, sk = 2, 256, 3, 40, 512
-    ks = jax.random.split(jax.random.PRNGKey(10), 3)
-    q = jax.random.normal(ks[0], (b, sq, h, d))
-    k = jax.random.normal(ks[1], (b, sk, h, d))
-    v = jax.random.normal(ks[2], (b, sk, h, d))
-    out = _flash_attention_bshd(q, k, v, d**-0.5)
-    tr = lambda t: t.transpose(0, 2, 1, 3)
-    ref = tr(xla_attention(tr(q), tr(k), tr(v), d**-0.5))
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=2e-5, rtol=1e-4)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        monkeypatch.setenv("CTRLORA_KERNELS", "packed_bq=0,bq=abc,frobnicate")
+        fl = kernel_flags.flags()
+    assert fl == kernel_flags.KernelFlags()  # all malformed -> defaults
+    assert len(w) == 3
 
-
-def test_pvt_gradient_matches_xla(monkeypatch):
-    """custom_vjp backward is PVT-independent, but the forward residuals
-    (out, lse) feed it — grads must still match with PVT on."""
-    monkeypatch.setenv("CTRLORA_FLASH_PVT", "1")
-    b, h, sq, d, sk = 1, 2, 256, 32, 256
-    ks = jax.random.split(jax.random.PRNGKey(11), 4)
-    q = jax.random.normal(ks[0], (b, h, sq, d))
-    k = jax.random.normal(ks[1], (b, h, sk, d))
-    v = jax.random.normal(ks[2], (b, h, sk, d))
-    ct = jax.random.normal(ks[3], (b, h, sq, d))
-    gf = jax.grad(
-        lambda q, k, v: jnp.sum(flash_attention(q, k, v) * ct), argnums=(0, 1, 2)
-    )(q, k, v)
-    gr = jax.grad(
-        lambda q, k, v: jnp.sum(xla_attention(q, k, v, d**-0.5) * ct),
-        argnums=(0, 1, 2),
-    )(q, k, v)
-    for a, b_ in zip(gf, gr):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
-                                   atol=5e-5, rtol=1e-3)
+    monkeypatch.setenv("CTRLORA_KERNELS", "")
+    assert kernel_flags.flags() == kernel_flags.KernelFlags()
+    # programmatic overrides stack on the env base and validate field names
+    with kernel_flags.override(attn_layout="bhsd"):
+        assert kernel_flags.flags().attn_layout == "bhsd"
+    assert kernel_flags.flags().attn_layout == "bshd"
+    with pytest.raises(TypeError):
+        kernel_flags.set_flags(not_a_flag=1)

@@ -22,18 +22,19 @@ def _make(rows, c, mult=4, dtype=jnp.float32, seed=0):
     return x, w1, b1, w2, b2
 
 
-def test_forward_matches_reference_fp32(monkeypatch):
+def test_forward_matches_reference_fp32():
+    from ctrlora_tpu.ops.kernel_flags import override
+
     x, w1, b1, w2, b2 = _make(256, 64)
-    monkeypatch.setenv("CTRLORA_GEGLU_FFN", "1")
-    assert geglu_ffn_ok(x, w1)
-    monkeypatch.delenv("CTRLORA_GEGLU_FFN")
-    # default (unset) is on ON ACCELERATORS (2026-08-18 ledger A/B) but
-    # off on this CPU host — interpret mode would drag the whole suite
+    with override(geglu_ffn=True):
+        assert geglu_ffn_ok(x, w1)
+    # default (unset) is on ON TPU (2026-08-18 ledger A/B) but off on this
+    # CPU host — interpret mode would drag the whole suite
     assert not geglu_ffn_ok(x, w1)
-    monkeypatch.setenv("CTRLORA_GEGLU_FFN", "0")
-    assert not geglu_ffn_ok(x, w1)  # =0 force-disables
-    monkeypatch.setenv("CTRLORA_GEGLU_FFN", "1")
-    out = geglu_ffn(x, w1, b1, w2, b2)
+    with override(geglu_ffn=False):
+        assert not geglu_ffn_ok(x, w1)  # geglu=0 force-disables
+    with override(geglu_ffn=True):
+        out = geglu_ffn(x, w1, b1, w2, b2)
     ref = _reference(x, w1, b1, w2, b2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
 
@@ -77,19 +78,20 @@ def test_row_block_budget_decisions():
     assert _pick_rows(100, 320, 1280, 2) is None
 
 
-def test_feedforward_module_uses_same_params(monkeypatch):
+def test_feedforward_module_uses_same_params():
     """The module's fused no-LoRA path must produce Dense-identical params
     (proj/kernel, proj/bias, out/kernel, out/bias) and Dense-identical
     outputs."""
-    monkeypatch.setenv("CTRLORA_GEGLU_FFN", "1")
     from ctrlora_tpu.models.attention import FeedForward
+    from ctrlora_tpu.ops.kernel_flags import override
 
     ff = FeedForward(dim=64)
     x = jax.random.normal(jax.random.PRNGKey(3), (2, 128, 64))
     params = ff.init(jax.random.PRNGKey(4), x)["params"]
     assert set(params) == {"proj", "out"}
     assert set(params["proj"]) == {"kernel", "bias"}
-    out = ff.apply({"params": params}, x)
+    with override(geglu_ffn=True):
+        out = ff.apply({"params": params}, x)
     ref = _reference(
         x, params["proj"]["kernel"], params["proj"]["bias"],
         params["out"]["kernel"], params["out"]["bias"],

@@ -393,3 +393,34 @@ def test_dp_sampling_matches_single_device():
     out = np.asarray(dp_sample_jit(sample_fn, mesh)(params, hint, ids, nids, rng))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=5e-4)
+
+
+def test_init_distributed_policy(monkeypatch):
+    """init_distributed must fail LOUD when a coordinator is configured but
+    unreachable, and no-op only in the genuinely-unconfigured case
+    (VERDICT r3: the old `except Exception: pass` silently degraded a
+    misconfigured multi-host job to single-host training)."""
+    from ctrlora_tpu.parallel import mesh as pmesh
+
+    for v in pmesh._COORDINATOR_ENV_VARS:
+        monkeypatch.delenv(v, raising=False)
+    # unconfigured -> single-host no-op, returns False, does NOT initialize
+    monkeypatch.setattr(
+        pmesh.jax.distributed, "initialize",
+        lambda **kw: (_ for _ in ()).throw(AssertionError("must not be called")),
+    )
+    assert pmesh.init_distributed() is False
+
+    # configured-but-unreachable -> RuntimeError naming the coordinator
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+
+    def _unreachable(**kw):
+        raise ConnectionError("connection refused")
+
+    monkeypatch.setattr(pmesh.jax.distributed, "initialize", _unreachable)
+    with pytest.raises(RuntimeError, match="10.0.0.1:1234"):
+        pmesh.init_distributed()
+
+    # configured-and-reachable -> True
+    monkeypatch.setattr(pmesh.jax.distributed, "initialize", lambda **kw: None)
+    assert pmesh.init_distributed() is True

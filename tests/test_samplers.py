@@ -257,3 +257,102 @@ def test_dpm_order_schedule_matches_reference_loop():
                 got = list(order_schedule(steps, order, lof))
                 want = reference_orders(steps, order, lof)
                 assert got == want, (steps, order, lof, got, want)
+
+
+def test_dpm_singlestep_orders_match_reference_bookkeeping():
+    """Block-order decomposition vs the reference's documented scheme
+    (dpm_solver.py:405-462): total evals == steps, uniform blocks with the
+    exact lower-order tails."""
+    from ctrlora_tpu.sampling.dpm_solver import singlestep_orders
+
+    assert singlestep_orders(20, 2) == [2] * 10
+    assert singlestep_orders(21, 2) == [2] * 10 + [1]
+    assert singlestep_orders(21, 3) == [3] * 6 + [2, 1]  # K-2 blocks, 2, 1
+    assert singlestep_orders(22, 3) == [3] * 7 + [1]
+    assert singlestep_orders(23, 3) == [3] * 7 + [2]
+    assert singlestep_orders(24, 3) == [3] * 7 + [2, 1]
+    assert singlestep_orders(5, 1) == [1] * 5
+    for steps in (5, 20, 21, 22, 23, 24, 50):
+        for order in (1, 2, 3):
+            assert sum(singlestep_orders(steps, order)) == steps
+
+
+def test_dpm_singlestep_zero_eps_closed_form():
+    """With eps=0 the exact flow is x(t) = (alpha_t/alpha_s) x_s; every
+    singlestep order must telescope to it exactly (the higher-order
+    correction terms vanish because the data prediction x/alpha is constant
+    along the exact flow)."""
+    from ctrlora_tpu.sampling.dpm_solver import dpm_solver_singlestep_sample
+
+    pipe, params = _tiny_pipe()
+    pipe.apply_model = lambda p, x, t, *a, **kw: jnp.zeros_like(x)
+    ctx, conds, shape = _common_args(pipe, params)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), shape)
+    steps = 21
+    T = len(pipe.schedule.alphas_cumprod)
+    nodes = np.unique(np.round(np.linspace(T - 1, 0, steps + 1)).astype(int))[::-1]
+    ac = np.asarray(pipe.schedule.alphas_cumprod)[nodes]
+    factor = float(np.sqrt(ac[-1] / ac[0]))
+    for order in (1, 2, 3):
+        for algo in ("dpmsolver++", "dpmsolver"):
+            z = dpm_solver_singlestep_sample(
+                pipe, params, jax.random.PRNGKey(2), ctx, None, conds, shape,
+                DDIMConfig(steps=steps), x_T=x_T, order=order, algorithm=algo,
+            )
+            np.testing.assert_allclose(
+                np.asarray(z), np.asarray(x_T) * factor, rtol=1e-3, atol=1e-4,
+                err_msg=f"order={order} algo={algo}",
+            )
+
+
+def test_dpm_singlestep_order1_matches_multistep_order1():
+    """Order 1 is DPM-Solver-1 on the same time-uniform fine grid for both
+    methods — they must agree to float tolerance on a real tiny model."""
+    from ctrlora_tpu.sampling.dpm_solver import dpm_solver_singlestep_sample
+
+    pipe, params = _tiny_pipe()
+    ctx, conds, shape = _common_args(pipe, params)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), shape)
+    kw = dict(x_T=x_T, order=1)
+    z_ss = dpm_solver_singlestep_sample(
+        pipe, params, jax.random.PRNGKey(2), ctx, None, conds, shape,
+        DDIMConfig(steps=10), **kw,
+    )
+    z_ms = dpm_solver_sample(
+        pipe, params, jax.random.PRNGKey(2), ctx, None, conds, shape,
+        DDIMConfig(steps=10), **kw,
+    )
+    np.testing.assert_allclose(np.asarray(z_ss), np.asarray(z_ms),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dpm_singlestep_converges():
+    """Singlestep orders 2/3 at 48 evals must land near the DDIM-200 truth
+    while DDIM-5 does not, and must be deterministic."""
+    from ctrlora_tpu.sampling.dpm_solver import dpm_solver_singlestep_sample
+
+    pipe, params = _tiny_pipe()
+    ctx, conds, shape = _common_args(pipe, params)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), shape)
+
+    truth = np.asarray(
+        ddim_sample(pipe, params, jax.random.PRNGKey(2), ctx, None, conds,
+                    shape, DDIMConfig(steps=200), x_T=x_T)
+    )
+    err = lambda z: np.abs(np.asarray(z) - truth).max()
+    e_ddim5 = err(
+        ddim_sample(pipe, params, jax.random.PRNGKey(2), ctx, None, conds,
+                    shape, DDIMConfig(steps=5), x_T=x_T)
+    )
+    for order in (2, 3):
+        z = dpm_solver_singlestep_sample(
+            pipe, params, jax.random.PRNGKey(2), ctx, None, conds, shape,
+            DDIMConfig(steps=48), x_T=x_T, order=order,
+        )
+        assert np.isfinite(np.asarray(z)).all()
+        assert err(z) < e_ddim5, (order, err(z), e_ddim5)
+        z2 = dpm_solver_singlestep_sample(
+            pipe, params, jax.random.PRNGKey(2), ctx, None, conds, shape,
+            DDIMConfig(steps=48), x_T=x_T, order=order,
+        )
+        assert err(z2) == err(z)  # deterministic
