@@ -297,6 +297,7 @@ def bench_train(args) -> dict:
         "task_idx": jnp.zeros((batch,), jnp.int32),
     }
     rng = jax.random.PRNGKey(2)
+    flops = _traced_flops(step, state, batch_data, rng)
     state, m = step(state, batch_data, rng)
     float(m["loss"])  # compile+warm, forced host transfer
     t0 = time.perf_counter()
@@ -305,7 +306,7 @@ def bench_train(args) -> dict:
     float(m["loss"])  # the step chain is sequential on state
     dt = (time.perf_counter() - t0) / args.train_reps
     img_per_sec = batch / dt
-    return {
+    out = {
         "train_metric": f"rank-128 lora finetune step b{batch} {size}x{size}",
         "train_steps_per_sec": round(1.0 / dt, 4),
         # baseline is the reference's ~3 images/sec at bs1 on one GPU;
@@ -314,6 +315,12 @@ def bench_train(args) -> dict:
         "train_images_per_sec": round(img_per_sec, 3),
         "train_seconds_per_step": round(dt, 4),
     }
+    peak = _peak_tflops()
+    if flops is not None:
+        out["train_tflops_per_step"] = round(flops / 1e12, 2)
+        if peak:
+            out["train_mfu"] = round(flops / dt / (peak * 1e12), 4)
+    return out
 
 
 def main():

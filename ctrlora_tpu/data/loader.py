@@ -88,4 +88,9 @@ class Loader:
                 step += 1
                 yield fut.result()
         finally:
-            pool.shutdown(wait=False, cancel_futures=True)
+            try:
+                pool.shutdown(wait=False, cancel_futures=True)
+            except Exception:
+                # generator finalization can run during interpreter teardown,
+                # where concurrent.futures' module globals are already None
+                pass

@@ -51,24 +51,45 @@ def _erf(x):
     return jnp.sign(x) * y
 
 
-def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, f):
+def _geglu_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, f, split):
+    """split=1: straight up -> gelu -> down. split>1: software pipeline over
+    `split` row sub-blocks — the profiled kernel runs at ~58% MFU because
+    the VPU gelu pass serializes between the two MXU matmuls (hlo_stats
+    2026-08-18: ff.* 0.7 ms/site vs ~0.41 ms matmul floor at the 64x64
+    site). Issuing sub-block j+1's up-projection (MXU) BEFORE sub-block j's
+    gelu (VPU) lets the in-order issue stream keep the VPU busy while the
+    MXU crunches; per-element math is unchanged, so outputs stay
+    bit-identical to split=1."""
     mxu = w1_ref.dtype
-    x = x_ref[...].astype(mxu)  # [bs, C]
-    # fp32-accumulated dot cast to the compute dtype — identical rounding to
-    # the jnp path's bf16 dot (XLA accumulates bf16 dots in fp32 too)
-    h = (jax.lax.dot_general(
-        x, w1_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b1_ref[...].astype(jnp.float32)).astype(mxu)  # [bs, 2F]
-    a, g = h[:, :f], h[:, f:].astype(jnp.float32)
-    # exact-form GELU matching nn.gelu(approximate=False) via the A&S erf
-    # polynomial (1.5e-7 — far below bf16 resolution)
-    gated = a * (0.5 * g * (1.0 + _erf(g * (2.0 ** -0.5)))).astype(mxu)
-    out = jax.lax.dot_general(
-        gated, w2_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b2_ref[...].astype(jnp.float32)
-    o_ref[...] = out.astype(o_ref.dtype)
+
+    def up(lo, n):  # [n, 2F] in compute dtype
+        x = x_ref[pl.dslice(lo, n), :].astype(mxu)
+        # fp32-accumulated dot cast to the compute dtype — identical
+        # rounding to the jnp path's bf16 dot (XLA accumulates bf16 dots in
+        # fp32 too)
+        return (jax.lax.dot_general(
+            x, w1_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[...].astype(jnp.float32)).astype(mxu)
+
+    def gate_down(lo, n, h):
+        a, g = h[:, :f], h[:, f:].astype(jnp.float32)
+        # exact-form GELU matching nn.gelu(approximate=False) via the A&S
+        # erf polynomial (1.5e-7 — far below bf16 resolution)
+        gated = a * (0.5 * g * (1.0 + _erf(g * (2.0 ** -0.5)))).astype(mxu)
+        out = jax.lax.dot_general(
+            gated, w2_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2_ref[...].astype(jnp.float32)
+        o_ref[pl.dslice(lo, n), :] = out.astype(o_ref.dtype)
+
+    bs = x_ref.shape[0]
+    sub = bs // split
+    h_cur = up(0, sub)
+    for j in range(split):
+        h_next = up((j + 1) * sub, sub) if j + 1 < split else None
+        gate_down(j * sub, sub, h_cur)
+        h_cur = h_next
 
 
 def _vmem_est(bs: int, c: int, f: int, isz: int) -> int:
@@ -160,8 +181,11 @@ def _forward(x, w1, b1, w2, b2):
     bs = _pick_rows(rows, c, f, isz)
     assert bs is not None, "geglu_ffn_ok must gate this call"
     xf = x.reshape(rows, c)
+    split = flags().geglu_split or (2 if bs >= 256 else 1)
+    if bs % split:
+        split = 1
     out = pl.pallas_call(
-        functools.partial(_kernel, f=f),
+        functools.partial(_geglu_kernel, f=f, split=split),
         grid=(rows // bs,),
         in_specs=[
             pl.BlockSpec((bs, c), lambda i: (i, 0)),

@@ -22,6 +22,9 @@ runtime configuration surface is:
       bq=N bk=N      flash q/k block-size overrides (perf sweeps)
       packed_bq=N    hd-packed kernel q block override, skipping the VMEM
                      estimate (perf sweeps; trusts the raised per-kernel cap)
+      gsplit=N       GEGLU-FFN software-pipeline sub-blocks (perf sweeps;
+                     default 2-way when the row block allows — bit-identical
+                     math, only the MXU/VPU issue order changes)
 
   * :func:`override` / :func:`set_flags` — programmatic overrides for tests
     and the perf/ A/B harnesses (same fields, no subprocess needed).
@@ -47,6 +50,7 @@ class KernelFlags:
     safemax: bool = False
     fp32_matmul: bool = False
     geglu_ffn: Optional[bool] = None  # None -> on-TPU default
+    geglu_split: Optional[int] = None  # None -> auto (2-way sw pipeline)
     fused_group_norm: Optional[bool] = None  # None -> on-TPU default
     block_q: Optional[int] = None
     block_k: Optional[int] = None
@@ -55,7 +59,8 @@ class KernelFlags:
 
 _ENV = "CTRLORA_KERNELS"
 _BOOL_FIELDS = {"geglu": "geglu_ffn", "fused_gn": "fused_group_norm"}
-_INT_FIELDS = {"bq": "block_q", "bk": "block_k", "packed_bq": "packed_block_q"}
+_INT_FIELDS = {"bq": "block_q", "bk": "block_k", "packed_bq": "packed_block_q",
+               "gsplit": "geglu_split"}
 _parse_cache: dict[str, KernelFlags] = {}
 _overrides: dict[str, object] = {}
 

@@ -130,6 +130,9 @@ def main():
         # controls: the default now INCLUDES the GEGLU kernel and the packed
         # BSHD layout, so the A/B direction is default-vs-disabled
         "noffn": dict(use_fused=True, unroll=1, flags=dict(geglu_ffn=False)),
+        # GEGLU MXU/VPU software pipeline depth (default auto=2 at bs>=256)
+        "gsplit1": dict(use_fused=True, unroll=1, flags=dict(geglu_split=1)),
+        "gsplit4": dict(use_fused=True, unroll=1, flags=dict(geglu_split=4)),
         "bhsd": dict(use_fused=True, unroll=1, flags=dict(attn_layout="bhsd")),
         "nofusedgn": dict(use_fused=True, unroll=1,
                           flags=dict(fused_group_norm=False)),

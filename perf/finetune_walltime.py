@@ -1,0 +1,150 @@
+"""Timed end-to-end finetune: the reference README claims a new condition
+fine-tunes "with as few as 1,000 images ... in less than one hour" on one
+GPU (reference README.md:29). This harness reproduces that workload on one
+TPU chip THROUGH THE REAL CLI PATH (scripts/train_ctrlora_finetune.py's
+components: CustomDataset -> Loader -> Trainer), not a stripped step loop:
+1,000 synthetic 512x512 image pairs, batch 4, 3 epochs = 750 optimizer
+steps, rank-128 LoRA + norms trainable, orbax checkpoint at the end.
+
+Reports setup (init+compile) and steady-state wall-clock separately —
+the one-off compile cost is amortized across real runs by the persistent
+compilation cache, but both numbers are printed for honesty.
+
+Run: nohup python perf/finetune_walltime.py > /tmp/ft1k.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ctrlora_tpu.utils.platform import ensure_platform_from_env
+
+ensure_platform_from_env()
+
+
+def make_dataset(root: str, n: int, size: int) -> None:
+    """n paired synthetic images in the CustomDataset source/target layout."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    os.makedirs(os.path.join(root, "source"), exist_ok=True)
+    os.makedirs(os.path.join(root, "target"), exist_ok=True)
+    lines = []
+    for i in range(n):
+        # cheap structured content (gradients + noise) so JPEG decode cost
+        # is realistic; pure noise inflates file sizes 3x
+        yy, xx = np.mgrid[0:size, 0:size]
+        base = ((xx * (i % 7 + 1) + yy * (i % 5 + 1)) % 256).astype(np.uint8)
+        img = np.stack([base, base[::-1], base.T], axis=-1)
+        img = np.clip(img.astype(np.int16) + rng.integers(-20, 20, img.shape), 0, 255)
+        tgt = os.path.join(root, "target", f"{i:06d}.jpg")
+        src = os.path.join(root, "source", f"{i:06d}.jpg")
+        Image.fromarray(img.astype(np.uint8)).save(tgt, quality=90)
+        Image.fromarray((255 - img).astype(np.uint8)).save(src, quality=90)
+        lines.append(json.dumps({
+            "source": f"source/{i:06d}.jpg", "target": f"target/{i:06d}.jpg",
+            "prompt": f"synthetic benchmark image {i}",
+        }))
+    with open(os.path.join(root, "prompt.json"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n_images", type=int, default=1000)
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--bs", type=int, default=4)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--dataroot", default="/tmp/ctrlora_ft1k_data")
+    p.add_argument("--workdir", default="/tmp/ctrlora_ft1k_run")
+    p.add_argument("--num_workers", type=int, default=8)
+    args = p.parse_args()
+
+    t_wall0 = time.perf_counter()
+    if not os.path.exists(os.path.join(args.dataroot, "prompt.json")):
+        t0 = time.perf_counter()
+        make_dataset(args.dataroot, args.n_images, args.size)
+        print(f"dataset built in {time.perf_counter()-t0:.0f}s", flush=True)
+    shutil.rmtree(args.workdir, ignore_errors=True)
+
+    import jax
+
+    from ctrlora_tpu.configs import TrainConfig, ctrlora_finetune_config
+    from ctrlora_tpu.data.datasets import CustomDataset
+    from ctrlora_tpu.data.loader import Loader
+    from ctrlora_tpu.data.scheduler import SingleTaskSchedule
+    from ctrlora_tpu.pipeline import CtrLoraPipeline
+    from ctrlora_tpu.training.trainer import Trainer
+
+    max_steps = args.n_images * args.epochs // args.bs
+    cfg = ctrlora_finetune_config(lora_rank=128)
+    pipe = CtrLoraPipeline(cfg)
+    ds = CustomDataset(args.dataroot, drop_rate=0.3, resolution=args.size)
+    sched = SingleTaskSchedule(size=len(ds), batch_size=args.bs, seed=42)
+    loader = Loader([ds], sched, num_workers=args.num_workers,
+                    max_length=cfg.clip.max_length)
+    tcfg = TrainConfig(
+        learning_rate=1e-5, batch_size=args.bs, max_steps=max_steps,
+        trainable="lora", norm_trainable=True, seed=42,
+        ckpt_every=10**9, image_log_every=10**9,  # pure training wall-clock;
+        # the end-of-run trainer.save() below still covers ckpt cost
+    )
+
+    def _init():
+        return pipe.init(jax.random.PRNGKey(0), image_size=8)
+
+    t0 = time.perf_counter()
+    params = jax.jit(_init)()
+    jax.block_until_ready(params)
+    t_init = time.perf_counter() - t0
+    print(f"on-device init: {t_init:.0f}s", flush=True)
+
+    trainer = Trainer(pipe, tcfg, args.workdir, params=params)
+
+    it = loader.iterate(0)
+    # first step = compile; time it separately from steady state
+    t0 = time.perf_counter()
+    trainer.fit((next(it) for _ in range(1)))
+    t_compile = time.perf_counter() - t0
+    print(f"first step (compile+run): {t_compile:.0f}s", flush=True)
+
+    t0 = time.perf_counter()
+    trainer.fit(it)
+    t_steps = time.perf_counter() - t0
+    n_steady = int(trainer.state.step) - 1
+
+    t0 = time.perf_counter()
+    trainer.save(int(trainer.state.step))
+    t_ckpt = time.perf_counter() - t0
+
+    total = time.perf_counter() - t_wall0
+    out = {
+        "workload": f"{args.n_images} imgs x {args.epochs} epochs, bs {args.bs}, "
+                    f"rank-128 LoRA+norms, {args.size}x{args.size}",
+        "steps": int(trainer.state.step),
+        "steady_steps_per_sec": round(n_steady / t_steps, 3),
+        "steady_train_s": round(t_steps, 1),
+        "init_s": round(t_init, 1),
+        "compile_s": round(t_compile, 1),
+        "ckpt_save_s": round(t_ckpt, 1),
+        "total_wall_s": round(total, 1),
+        "reference_claim_s": 3600,
+        "speedup_vs_claim_total": round(3600 / total, 1),
+        "speedup_vs_claim_steady": round(3600 / (t_steps + t_ckpt), 1),
+    }
+    print(json.dumps(out, indent=1))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "ft1k_result.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -58,18 +58,25 @@ def main():
 
             return run
 
+        from ctrlora_tpu.ops import kernel_flags
+
         results = []
-        for label, fn in [("xla dense", _reference), ("pallas fused", geglu_ffn)]:
+        variants = [("xla dense", _reference, {})]
+        for s in (1, 2, 4):
+            variants.append((f"pallas gsplit={s}", geglu_ffn,
+                             {"geglu_ffn": True, "geglu_split": s}))
+        for label, fn, kf in variants:
             t0 = time.perf_counter()
-            j = jax.jit(chained(fn))
-            out = np.asarray(j(x))  # compile + warm
-            compile_s = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            out2 = np.asarray(j(x))
-            dt = (time.perf_counter() - t0) / args.reps
+            with kernel_flags.override(**kf):
+                j = jax.jit(chained(fn))
+                out = np.asarray(j(x))  # compile + warm
+                compile_s = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                out2 = np.asarray(j(x))
+                dt = (time.perf_counter() - t0) / args.reps
             results.append((label, dt, compile_s, float(out2)))
             print(
-                f"{name} {label:13s} {dt*1e3:8.3f} ms  {flops/dt/1e12:6.1f} TFLOPS"
+                f"{name} {label:16s} {dt*1e3:8.3f} ms  {flops/dt/1e12:6.1f} TFLOPS"
                 f"  (compile {compile_s:.0f}s, checksum {float(out2):.3f})",
                 flush=True,
             )

@@ -96,6 +96,42 @@ def main():
     for cat, us in by_cat.most_common():
         print(f"{us/1e3:10.2f} ms  {occ_by_cat[cat]:8d} launches  {cat}")
 
+    # semantic rollup: attribute self-time to the model-level subsystem so
+    # the README's MFU accounting can itemize >=90% of step time
+    def bucket(name: str, cat: str) -> str:
+        n = name.lower()
+        c = str(cat).lower()
+        if "fwd_kernel" in n or "flash" in n:
+            return "flash-attention kernel"
+        if "geglu" in n:
+            return "geglu-ffn kernel"
+        if "stats_kernel" in n or "apply_kernel" in n or "group_norm" in n:
+            return "group-norm kernel"
+        if "unpack_rows" in n:
+            return "emb-row unpack kernel"
+        if "convolution" in c or n.startswith(("conv", "%conv")) or "conv" in n:
+            return "convolution (+fused elementwise)"
+        if "copy" in c or "copy" in n:
+            return "layout copy"
+        if "custom-call" in c:
+            return "other custom-call"
+        if "all-reduce" in c or "collective" in c:
+            return "collective"
+        if "dot" in n or "gemm" in n or "matmul" in n:
+            return "matmul (+fused elementwise)"
+        return "other fusion/elementwise"
+
+    by_bucket = collections.Counter()
+    occ_by_bucket = collections.Counter()
+    for r in rows:
+        b = bucket(str(r[i_name]), r[i_cat] if i_cat is not None else "?")
+        by_bucket[b] += fnum(r[i_self])
+        occ_by_bucket[b] += int(fnum(r[i_occ])) if i_occ is not None else 1
+    print("\n== semantic rollup (self us, launches) ==")
+    for b, us in by_bucket.most_common():
+        print(f"{us/1e3:10.2f} ms  {100*us/max(total,1):5.1f}%  "
+              f"{occ_by_bucket[b]:8d} launches  {b}")
+
     print(f"\n== top {args.top} ops by self time ==")
     srt = sorted(rows, key=lambda r: -fnum(r[i_self]))
     for r in srt[: args.top]:

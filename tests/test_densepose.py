@@ -4,6 +4,8 @@ the full detector contract on synthetic weights."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # torch stage-parity: heavyweight, full lane only
 import torch
 import torch.nn.functional as F
 from types import SimpleNamespace

@@ -3,6 +3,8 @@ reference (annotator/oneformer), stage by stage and end to end."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # torch stage-parity: heavyweight, full lane only
 import torch
 
 from reference_shim import install_oneformer_shims

@@ -8,6 +8,8 @@ exports state-dict keys in open_clip naming)."""
 import numpy as np
 import pytest
 
+
+pytestmark = pytest.mark.slow  # torch stage-parity: heavyweight, full lane only
 torch = pytest.importorskip("torch")
 
 import jax.numpy as jnp  # noqa: E402

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+
+pytestmark = pytest.mark.slow  # torch stage-parity: heavyweight, full lane only
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 

@@ -8,9 +8,9 @@ import jax.numpy as jnp
 
 from tests.reference_shim import install_shims, reference_available
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not reference_available(), reason="reference tree or torch unavailable"
-)
+)]
 
 
 def _build_ref():
