@@ -623,6 +623,12 @@ def dot_product_attention_bshd(
         scale = 1.0 / math.sqrt(q.shape[-1])
     sq, sk = q.shape[1], k.shape[1]
     h, d = q.shape[2], q.shape[3]
+    # Small Sk (cross-attention's 77 text tokens) stays on the XLA fallback
+    # on purpose: a pad-K/V-to-128 + in-kernel NEG_INF-mask variant of the
+    # packed kernel was built and A/B'd on-chip (ledger 2026-08-19) and LOST
+    # — 4.379 s/batch vs 4.136 for the fallback on the DDIM-50 headline.
+    # With Sk that small the whole softmax is one fused XLA loop; the kernel
+    # only added pallas_call overhead per site. Don't retry without new data.
     flash_ok = (
         use_flash
         and flags().use_flash
