@@ -287,6 +287,14 @@ class ResBlock(nn.Module):
         )(h)
         if x.shape[-1] != self.out_channels:
             x = Conv(self.out_channels, kernel_size=(1, 1), dtype=self.dtype, name="skip")(x)
+        from ctrlora_tpu.ops.kernel_flags import flags
+
+        if flags().split_res_add:
+            # keep the residual add OUT of the conv fusion: XLA's fused
+            # conv+add epilogue runs the dominant 64x64x320 convs at 0.53
+            # MFU vs 0.70 unfused (hlo_stats 2026-08-19); the barrier costs
+            # one elementwise add kernel instead
+            h = jax.lax.optimization_barrier(h)
         return x + h
 
 
