@@ -136,7 +136,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk,
 
 
 def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, heads,
-                       d, mxu_dtype, skip_max, spt):
+                       d, mxu_dtype, skip_max):
     """hd-packed single-k-sweep forward: operands stay in the projections'
     natural [B, S, H*D] layout (block minor dim == array dim, which Mosaic
     always allows), and heads are separated INSIDE the kernel by static lane
@@ -147,15 +147,14 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, heads,
     matmuls. Single-sweep only: the grid revisits the same K/V block for
     every q block, so HBM fetches K/V once per (batch, site).
 
-    spt (transposed-logits epilogue): at SD's head dims (40/80/160) the
-    plain PV matmul P[bq,sk] @ V_aug[sk,d+1] pads its OUTPUT dim to 128
-    lanes (41->128: ~32% MXU util). Computing the logits already transposed
-    — S^T = K @ Q^T, same MXU cost since the contraction stays d — turns
-    the PV into V_aug^T-contraction @ P^T = [d+1, bq], whose pad dim is
-    SUBLANES (41->48: ~85%). The retired 2026-08-18 "pvt" variant lost its
-    A/B because it transposed the [bq, sk] probability matrix explicitly
-    (a full VPU relayout of the largest tensor in the kernel); here nothing
-    larger than the [d, bq] output tile is ever transposed."""
+    The PV matmul's 128-lane pad at SD head dims (41->128, ~32% MXU util)
+    has now been attacked twice and both variants LOST their on-chip A/Bs:
+    an explicit P-transpose epilogue ("pvt", 2026-08-18, 4.62 vs 4.59) and
+    a transposed-logits formulation S^T = K@Q^T whose PV contracts with the
+    pad on sublanes ("spt", 2026-08-19, 4.330 vs 4.137 — the [sk,bq]-
+    oriented exp2 pass and strided transposed output write cost more than
+    the pad saves). Don't retry a PV-orientation change without new
+    evidence; the remaining headroom here is VPU-side, not pad-side."""
     sk = k_ref.shape[1]
     bq = q_ref.shape[1]
     for h in range(heads):
@@ -164,28 +163,6 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, heads,
         q = q.astype(mxu_dtype)
         k = k_ref[0][:, sl].astype(mxu_dtype)
         v = v_ref[0][:, sl].astype(mxu_dtype)
-        if spt:
-            v_aug = jnp.concatenate([v, jnp.ones((sk, 1), mxu_dtype)], axis=1)
-            st = jax.lax.dot_general(  # [sk, bq] = K @ Q^T
-                k, q, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if skip_max:
-                m = jnp.zeros((1, bq), jnp.float32)
-                pt = jnp.exp2(jnp.minimum(st, 110.0)).astype(mxu_dtype)
-            else:
-                m = jnp.max(st, axis=0, keepdims=True)
-                pt = jnp.exp2(st - m).astype(mxu_dtype)
-            ot = jax.lax.dot_general(  # [d+1, bq] = V_aug^T-style @ P^T
-                v_aug, pt, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            l = ot[d:, :]  # [1, bq] softmax denominator row
-            if skip_max:
-                l = jnp.maximum(l, 1e-30)
-            o_ref[0, :, sl] = (ot[:d, :] / l).T.astype(o_ref.dtype)
-            lse_ref[0, h, :] = ((m + jnp.log2(l)) * (1.0 / LOG2E))[0, :]
-            continue
         v_aug = jnp.concatenate([v, jnp.ones((sk, 1), mxu_dtype)], axis=1)
         s = jax.lax.dot_general(  # [bq, sk]
             q, k, (((1,), (1,)), ((), ())),
@@ -357,12 +334,9 @@ def _flash_forward(q, k, v, scale, bshd=False):
                     block_q = bq_cand
                     break
         assert block_q is not None, "caller must check _packed_ok first"
-        # transposed-logits epilogue default: pending its on-chip A/B the
-        # flag default is off; flip here once the ledger decides.
-        spt = fl.spt if fl.spt is not None else False
         kern = functools.partial(_fwd_kernel_packed, scale=scale, heads=h,
                                  d=d, mxu_dtype=mxu_dtype,
-                                 skip_max=not fl.safemax, spt=spt)
+                                 skip_max=not fl.safemax)
         hd = h * d
         qp, kp, vp = (t.reshape(t.shape[0], t.shape[1], hd) for t in (q, k, v))
         out, lse = pl.pallas_call(

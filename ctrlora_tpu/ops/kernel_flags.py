@@ -25,10 +25,6 @@ runtime configuration surface is:
       gsplit=N       GEGLU-FFN software-pipeline sub-blocks (perf sweeps;
                      default 2-way when the row block allows — bit-identical
                      math, only the MXU/VPU issue order changes)
-      spt=0|1        transposed-logits epilogue in the hd-packed flash
-                     kernel: compute S^T = K@Q^T so the PV matmul contracts
-                     as V_aug^T@P^T with the head-dim pad on SUBLANES
-                     (41->48, ~85% util) instead of lanes (41->128, ~32%)
       split_res_add=0|1  optimization_barrier between the ResBlock out_conv
                      and its residual add, keeping the add out of the conv
                      fusion (profiled 0.70 vs 0.53 conv MFU at 64x64x320)
@@ -62,7 +58,6 @@ class KernelFlags:
     block_q: Optional[int] = None
     block_k: Optional[int] = None
     packed_block_q: Optional[int] = None
-    spt: Optional[bool] = None  # None -> kernel-side default
     # keep the ResBlock residual add OUT of the conv fusion: the profiler
     # (2026-08-19) shows [8,64,64,320] 3x3 convs drop 0.70 -> 0.53 MFU when
     # XLA fuses the residual-add epilogue in (56.5 vs 43.1 ms/100 steps)
@@ -71,7 +66,7 @@ class KernelFlags:
 
 _ENV = "CTRLORA_KERNELS"
 _BOOL_FIELDS = {"geglu": "geglu_ffn", "fused_gn": "fused_group_norm",
-                "spt": "spt", "split_res_add": "split_res_add"}
+                "split_res_add": "split_res_add"}
 _INT_FIELDS = {"bq": "block_q", "bk": "block_k", "packed_bq": "packed_block_q",
                "gsplit": "geglu_split"}
 _parse_cache: dict[str, KernelFlags] = {}

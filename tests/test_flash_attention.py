@@ -220,50 +220,3 @@ def test_kernel_flags_env_parse(monkeypatch):
     assert kernel_flags.flags().attn_layout == "bshd"
     with pytest.raises(TypeError):
         kernel_flags.set_flags(not_a_flag=1)
-
-
-@pytest.mark.parametrize("safemax", [False, True])
-@pytest.mark.parametrize("d", [40, 80])
-def test_forward_bshd_spt_matches_xla(safemax, d):
-    """Transposed-logits epilogue (S^T = K@Q^T, PV pad on sublanes) must
-    match the XLA reference bit-for-tolerance like the plain epilogue."""
-    from ctrlora_tpu.ops.flash_attention import _flash_attention_bshd
-    from ctrlora_tpu.ops.kernel_flags import override
-
-    b, sq, h, sk = 2, 256, 3, 512
-    ks = jax.random.split(jax.random.PRNGKey(11), 3)
-    q = jax.random.normal(ks[0], (b, sq, h, d))
-    k = jax.random.normal(ks[1], (b, sk, h, d))
-    v = jax.random.normal(ks[2], (b, sk, h, d))
-    with override(spt=True, safemax=safemax):
-        out = _flash_attention_bshd(q, k, v, d**-0.5)
-    tr = lambda t: t.transpose(0, 2, 1, 3)
-    ref = tr(xla_attention(tr(q), tr(k), tr(v), d**-0.5))
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
-
-
-def test_backward_bshd_spt_matches_xla():
-    """Gradients flow through the spt forward (lse contract unchanged; the
-    backward reuses the BHSD kernels either way)."""
-    from ctrlora_tpu.ops.flash_attention import _flash_attention_bshd
-    from ctrlora_tpu.ops.kernel_flags import override
-
-    b, sq, h, d, sk = 1, 256, 2, 40, 256
-    ks = jax.random.split(jax.random.PRNGKey(12), 4)
-    q = jax.random.normal(ks[0], (b, sq, h, d))
-    k = jax.random.normal(ks[1], (b, sk, h, d))
-    v = jax.random.normal(ks[2], (b, sk, h, d))
-    ct = jax.random.normal(ks[3], (b, sq, h, d))
-    tr = lambda t: t.transpose(0, 2, 1, 3)
-
-    def loss_flash(q, k, v):
-        return jnp.sum(_flash_attention_bshd(q, k, v, d**-0.5) * ct)
-
-    def loss_ref(q, k, v):
-        return jnp.sum(tr(xla_attention(tr(q), tr(k), tr(v), d**-0.5)) * ct)
-
-    with override(spt=True):
-        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
-    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
-    for a, b_ in zip(gf, gr):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5, rtol=1e-3)
