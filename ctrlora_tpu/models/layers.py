@@ -289,11 +289,13 @@ class ResBlock(nn.Module):
             x = Conv(self.out_channels, kernel_size=(1, 1), dtype=self.dtype, name="skip")(x)
         from ctrlora_tpu.ops.kernel_flags import flags
 
-        if flags().split_res_add:
+        if flags().split_res_add is not False:
             # keep the residual add OUT of the conv fusion: XLA's fused
             # conv+add epilogue runs the dominant 64x64x320 convs at 0.53
-            # MFU vs 0.70 unfused (hlo_stats 2026-08-19); the barrier costs
-            # one elementwise add kernel instead
+            # MFU vs 0.70 unfused (hlo_stats 2026-08-19). Default ON after
+            # the interleaved A/B won 4.083 vs 4.135 s/batch with
+            # bit-identical checksums (ledger 2026-08-19);
+            # CTRLORA_KERNELS=split_res_add=0 restores the fusion.
             h = jax.lax.optimization_barrier(h)
         return x + h
 

@@ -27,7 +27,9 @@ runtime configuration surface is:
                      math, only the MXU/VPU issue order changes)
       split_res_add=0|1  optimization_barrier between the ResBlock out_conv
                      and its residual add, keeping the add out of the conv
-                     fusion (profiled 0.70 vs 0.53 conv MFU at 64x64x320)
+                     fusion (profiled 0.70 vs 0.53 conv MFU at 64x64x320).
+                     Default ON (ledger 2026-08-19: 4.083 vs 4.135 s/batch,
+                     bit-identical checksums); =0 restores the fusion
 
   * :func:`override` / :func:`set_flags` — programmatic overrides for tests
     and the perf/ A/B harnesses (same fields, no subprocess needed).
@@ -60,8 +62,9 @@ class KernelFlags:
     packed_block_q: Optional[int] = None
     # keep the ResBlock residual add OUT of the conv fusion: the profiler
     # (2026-08-19) shows [8,64,64,320] 3x3 convs drop 0.70 -> 0.53 MFU when
-    # XLA fuses the residual-add epilogue in (56.5 vs 43.1 ms/100 steps)
-    split_res_add: Optional[bool] = None  # None -> model-side default
+    # XLA fuses the residual-add epilogue in (56.5 vs 43.1 ms/100 steps).
+    # None -> ON (model-side default; A/B winner 4.083 vs 4.135)
+    split_res_add: Optional[bool] = None
 
 
 _ENV = "CTRLORA_KERNELS"

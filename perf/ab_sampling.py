@@ -134,8 +134,8 @@ def main():
         "gsplit1": dict(use_fused=True, unroll=1, flags=dict(geglu_split=1)),
         "gsplit4": dict(use_fused=True, unroll=1, flags=dict(geglu_split=4)),
         "bhsd": dict(use_fused=True, unroll=1, flags=dict(attn_layout="bhsd")),
-        # barrier between ResBlock out_conv and residual add (unfuse the add)
-        "sra": dict(use_fused=True, unroll=1, flags=dict(split_res_add=True)),
+        # control for the residual-add barrier (default ON since 2026-08-19)
+        "nosra": dict(use_fused=True, unroll=1, flags=dict(split_res_add=False)),
         "nofusedgn": dict(use_fused=True, unroll=1,
                           flags=dict(fused_group_norm=False)),
         "steps10": dict(use_fused=True, unroll=1, flags=None, n_steps=10),

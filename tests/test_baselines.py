@@ -65,5 +65,6 @@ def test_vanilla_controlnet_pipeline():
     _run_variant("controlnet")
 
 
+@pytest.mark.slow
 def test_lite_pipeline():
     _run_variant("lite")

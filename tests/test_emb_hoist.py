@@ -5,6 +5,7 @@ control path, the fused-override path, and the full sampler."""
 
 import dataclasses
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,6 +29,7 @@ def _randomized_lora(params, scale=0.05):
     return jax.tree_util.tree_map_with_path(bump, params)
 
 
+@pytest.mark.slow
 def test_apply_model_with_rows_matches_inloop():
     pipe, params = make_pipe()
     params = _randomized_lora(params)
@@ -111,6 +113,7 @@ def _sampler_io(pipe, params, B=1):
     return ctx, uncond, [Conditioning(hint_z, lora_idx=jnp.int32(0))]
 
 
+@pytest.mark.slow
 def test_plms_hoist_on_off_identical():
     from ctrlora_tpu.sampling.plms import plms_sample
 

@@ -14,12 +14,14 @@ import pytest
 import __graft_entry__ as ge
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_inprocess():
     # conftest gives this process 8 virtual CPU devices -> in-process path
     assert jax.device_count() >= 8
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_subprocess_fallback(monkeypatch):
     # simulate the bench host: the calling process sees 1 device, so the
     # entry must bootstrap its own virtual mesh in a subprocess

@@ -81,6 +81,7 @@ def _tiny_style_cfg():
     )
 
 
+@pytest.mark.slow
 def test_style_sampling_path():
     from ctrlora_tpu.pipeline import Conditioning, CtrLoraPipeline
     from ctrlora_tpu.sampling.ddim import DDIMConfig, ddim_sample
@@ -162,6 +163,7 @@ def test_load_ip_adapter_into_tiny():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_uncond_ip_context_changes_cfg():
     """The style app feeds image_proj(zeros) to the uncond CFG half
     (app/gradio_ctrlora_style_transfer.py:410); a distinct uncond_ip_context

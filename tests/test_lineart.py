@@ -63,6 +63,7 @@ def test_anime_unet_parity():
     )
 
 
+@pytest.mark.slow
 def test_lineart_detectors_contract(rng):
     from ctrlora_tpu.annotators import registry
 

@@ -1,5 +1,6 @@
 """LoRA fusion: the fused control tree must reproduce the unfused path."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -72,6 +73,7 @@ def test_cast_params_for_inference():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_fused_matches_runtime_after_training():
     """Fuse a TRAINED (non-zero LoRA) checkpoint and require exact agreement
     with the runtime-LoRA path — the round-2 driver bench compared the two

@@ -40,6 +40,7 @@ def test_mlsd_parity():
     )
 
 
+@pytest.mark.slow
 def test_mlsd_detector_contract(rng):
     from ctrlora_tpu.annotators.mlsd import MLSDdetector
 

@@ -112,6 +112,7 @@ def test_sd_unlocked_trains_decoder():
     assert not any(v for k, v in flat.items() if k.startswith("['params']['in_"))
 
 
+@pytest.mark.slow
 def test_train_step_learns_and_respects_mask():
     pipe, params = make_pipe(n_loras=1)
     cfg = TrainConfig(learning_rate=1e-3, trainable="lora", grad_accum=1)
@@ -149,6 +150,7 @@ def test_train_step_learns_and_respects_mask():
     assert float(l_after) < float(l_before)
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_big_batch_direction():
     pipe, params = make_pipe(n_loras=1)
     cfg = TrainConfig(learning_rate=1e-3, trainable="lora", grad_accum=2)
@@ -231,6 +233,7 @@ def test_fsdp_opt_state_sharding():
     np.testing.assert_allclose(run(True), run(False), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_trainer_ema_and_shard_opt_state(tmp_path):
     """use_ema + shard_opt_state wired through the Trainer (reference hooks
     LitEma at ddpm.py:465-467), including a ckpt save/restore roundtrip."""
@@ -274,6 +277,7 @@ def test_trainer_ema_and_shard_opt_state(tmp_path):
     assert int(tr2.state.step) == 3
 
 
+@pytest.mark.slow
 def test_cfg_sampling_respects_control_params_override():
     """The CFG path must carry Conditioning.control_params through to the
     control branch (a positional rebuild once dropped the field and CFG

@@ -8,6 +8,7 @@ higher-order run must land near a 200-step DDIM "truth" while a 5-step DDIM
 run does not.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -80,6 +81,7 @@ def test_zero_eps_closed_form():
                                rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_higher_order_converges_to_ddim_truth():
     pipe, params = _tiny_pipe()
     ctx, conds, shape = _common_args(pipe, params)
@@ -124,6 +126,7 @@ def test_ddim_encode_zero_eps_exact_roundtrip():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ddim_encode_model_roundtrip_and_cfg():
     # real tiny model: encode then eta-0 decode must approximately invert
     # (discretization error only), and much better than skipping the encode
@@ -182,6 +185,7 @@ def test_dpm_solver_grid_zero_eps_closed_form():
             )
 
 
+@pytest.mark.slow
 def test_dpm_solver_order3_converges():
     pipe, params = _tiny_pipe()
     ctx, conds, shape = _common_args(pipe, params)
@@ -326,6 +330,7 @@ def test_dpm_singlestep_order1_matches_multistep_order1():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dpm_singlestep_converges():
     """Singlestep orders 2/3 at 48 evals must land near the DDIM-200 truth
     while DDIM-5 does not, and must be deterministic."""
