@@ -201,6 +201,24 @@ def bench_sampling(args) -> dict:
 
     flops = _traced_flops(sample, params, fused, hint, ids, rng)
 
+    # one-program mode: the whole pipeline (prep+scan+decode) as a single
+    # executable — removes the two inter-program dispatch bubbles that the
+    # phase breakdown showed (~40 ms/batch device-idle between programs on
+    # the remote-dispatch runtime)
+    sample_c = None
+    if args.one_program:
+        def sample_chk(params, fused, hint, ids, rng):
+            img, means = decode_fn(
+                params,
+                scan_fn(params, fused,
+                        *prep_fn(params, fused, hint, ids)[:3], rng)[0],
+            )
+            return jnp.sum(means)
+
+        sample_c = (
+            jax.jit(sample_chk).lower(params, fused, hint, ids, rng).compile()
+        )
+
     prep_c = jax.jit(prep_fn).lower(params, fused, hint, ids).compile()
     ctx, uncond, hint_z, _ = prep_c(params, fused, hint, ids)
     scan_c = (
@@ -210,6 +228,10 @@ def bench_sampling(args) -> dict:
     decode_c = jax.jit(decode_fn).lower(params, z).compile()
 
     def run_once(r):
+        if sample_c is not None:
+            return np.asarray(
+                sample_c(params, fused, hint, ids, jax.random.fold_in(rng, r))
+            )
         ctx, uncond, hint_z, _ = prep_c(params, fused, hint, ids)
         z, _ = scan_c(params, fused, ctx, uncond, hint_z, jax.random.fold_in(rng, r))
         img, chk = decode_c(params, z)
@@ -255,6 +277,7 @@ def bench_sampling(args) -> dict:
         "per_rep_s": [round(t, 3) for t in per_rep],
         "phases": phases,
         "fetch": "full" if args.full_fetch else "checksum",
+        "dispatch": "one_program" if sample_c is not None else "phased",
     }
     peak = _peak_tflops()
     if flops is not None:
@@ -337,6 +360,8 @@ def main():
                    help="include the bitmap host transfer in each rep")
     p.add_argument("--train_reps", type=int, default=10)
     p.add_argument("--no_fuse", action="store_true", help="keep runtime LoRA (unfused)")
+    p.add_argument("--one_program", action="store_true",
+                   help="time prep+scan+decode as ONE compiled program")
     p.add_argument("--scan_unroll", type=int, default=1,
                    help="DDIM lax.scan body unroll factor")
     p.add_argument("--fp32_params", action="store_true", help="fp32 master params in the scan")

@@ -91,12 +91,18 @@ class CrossAttention(nn.Module):
             wq = _Kernel(inner, name="to_q")(in_f)
             wk = _Kernel(inner, name="to_k")(ctx.shape[-1])
             wv = _Kernel(inner, name="to_v")(ctx.shape[-1])
-            if is_self:
+            fuse_qkv = kernel_flags.flags().fuse_qkv is not False
+            if is_self and fuse_qkv:
                 qkv = jnp.dot(
                     x.astype(self.dtype),
                     jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype),
                 )
                 q, k, v = jnp.split(qkv, 3, axis=-1)
+            elif is_self:
+                xc = x.astype(self.dtype)
+                q = jnp.dot(xc, wq.astype(self.dtype))
+                k = jnp.dot(xc, wk.astype(self.dtype))
+                v = jnp.dot(xc, wv.astype(self.dtype))
             else:
                 q = jnp.dot(x.astype(self.dtype), wq.astype(self.dtype))
                 kv = jnp.dot(

@@ -30,6 +30,9 @@ runtime configuration surface is:
                      fusion (profiled 0.70 vs 0.53 conv MFU at 64x64x320).
                      Default ON (ledger 2026-08-19: 4.083 vs 4.135 s/batch,
                      bit-identical checksums); =0 restores the fusion
+      fuse_qkv=0|1   single-dot q/k/v projection (default on); =0 issues
+                     separate dots so each flash operand is written directly
+                     instead of sliced out of the fused result
 
   * :func:`override` / :func:`set_flags` — programmatic overrides for tests
     and the perf/ A/B harnesses (same fields, no subprocess needed).
@@ -65,11 +68,16 @@ class KernelFlags:
     # XLA fuses the residual-add epilogue in (56.5 vs 43.1 ms/100 steps).
     # None -> ON (model-side default; A/B winner 4.083 vs 4.135)
     split_res_add: Optional[bool] = None
+    # fuse self-attn q/k/v (and cross-attn k/v) projections into one dot.
+    # The fusion cut launches when dispatch dominated (round 1); with the
+    # packed flash kernel the jnp.split slices may force operand copies —
+    # =0 issues separate dots that write each operand buffer directly
+    fuse_qkv: Optional[bool] = None  # None -> ON
 
 
 _ENV = "CTRLORA_KERNELS"
 _BOOL_FIELDS = {"geglu": "geglu_ffn", "fused_gn": "fused_group_norm",
-                "split_res_add": "split_res_add"}
+                "split_res_add": "split_res_add", "fuse_qkv": "fuse_qkv"}
 _INT_FIELDS = {"bq": "block_q", "bk": "block_k", "packed_bq": "packed_block_q",
                "gsplit": "geglu_split"}
 _parse_cache: dict[str, KernelFlags] = {}

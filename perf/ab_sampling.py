@@ -136,6 +136,8 @@ def main():
         "bhsd": dict(use_fused=True, unroll=1, flags=dict(attn_layout="bhsd")),
         # control for the residual-add barrier (default ON since 2026-08-19)
         "nosra": dict(use_fused=True, unroll=1, flags=dict(split_res_add=False)),
+        # separate q/k/v dots: no jnp.split slices ahead of the flash kernel
+        "nofuseqkv": dict(use_fused=True, unroll=1, flags=dict(fuse_qkv=False)),
         "nofusedgn": dict(use_fused=True, unroll=1,
                           flags=dict(fused_group_norm=False)),
         "steps10": dict(use_fused=True, unroll=1, flags=None, n_steps=10),
