@@ -21,6 +21,7 @@ from ctrlora_tpu.ops import kernel_flags
 from ctrlora_tpu.ops.flash_attention import (
     dot_product_attention, dot_product_attention_bshd,
 )
+from ctrlora_tpu.parallel import tp
 
 Dtype = Any
 
@@ -118,6 +119,11 @@ class CrossAttention(nn.Module):
             k = dense("to_k")(ctx, lora_idx)
             v = dense("to_v")(ctx, lora_idx)
 
+        # TP: shard the head-major inner dim over the model axis (whole
+        # heads per shard) — the projection dots partition column-wise and
+        # the attention einsum runs collective-free per head group
+        q, k, v = (tp.constrain(t, "data", None, "model") for t in (q, k, v))
+
         b, sq, _ = q.shape
         split = lambda t: t.reshape(b, t.shape[1], self.heads, self.dim_head).transpose(0, 2, 1, 3)
 
@@ -180,10 +186,16 @@ class FeedForward(nn.Module):
                 return geglu_ffn(xc, w1, b1, w2, b2)
             h = jnp.dot(xc, w1.astype(self.dtype)) + b1.astype(self.dtype)
             h, gate = jnp.split(h, 2, axis=-1)
+            # TP: GEGLU hidden sharded over model — up-proj columns split,
+            # down-proj contracts the sharded dim (one psum per FF)
+            h = tp.constrain(h, "data", None, "model")
+            gate = tp.constrain(gate, "data", None, "model")
             h = h * nn.gelu(gate, approximate=False)
             return jnp.dot(h, w2.astype(self.dtype)) + b2.astype(self.dtype)
         h = Dense(inner * 2, dtype=self.dtype, lora=self.lora, name="proj")(x, lora_idx)
         h, gate = jnp.split(h, 2, axis=-1)
+        h = tp.constrain(h, "data", None, "model")
+        gate = tp.constrain(gate, "data", None, "model")
         h = h * nn.gelu(gate, approximate=False)
         return Dense(self.dim, dtype=self.dtype, lora=self.lora, name="out")(h, lora_idx)
 

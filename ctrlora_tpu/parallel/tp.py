@@ -1,0 +1,155 @@
+"""Tensor parallelism over a 2-D ``(data, model)`` mesh.
+
+The reference scales one way only: Lightning DDP (replicate everything,
+all-reduce grads). On TPU pods a second, orthogonal axis is nearly free to
+express with GSPMD: shard the *attention heads* and the *GEGLU hidden* over
+a ``model`` mesh axis and let XLA partition the projection matmuls and
+insert the collectives. This is Megatron-style activation/compute TP:
+
+  * self/cross-attention: q/k/v activations are sharded on the ``inner``
+    (= heads * dim_head) dim. With head-major packing, contiguous shards of
+    size inner/tp are whole heads, so the attention einsum partitions with
+    zero communication; the output projection contracts over the sharded
+    dim and XLA inserts ONE reduce per attention site (psum over ``model``).
+  * GEGLU FF: the hidden activation is sharded on ``model``; up-projection
+    columns split, down-projection contracts with one psum.
+  * everything else (convs, norms, embeddings) stays replicated on
+    ``model`` and sharded on ``data`` — at SD1.5 widths convs don't need TP
+    and GroupNorm would need cross-device stats.
+
+Params stay replicated (weights are small next to activations at SD batch
+sizes; see shard_largest_axis for the ZeRO-style optimizer-state shard).
+Because GSPMD is semantics-preserving, TP mode is bit-compatible with the
+single-device graph up to reduction order.
+
+Pallas kernels (flash attention, fused GEGLU) are *custom calls*: XLA
+cannot repartition their insides, so under TP they would force all-gathers
+of the very activations we sharded. ``tensor_parallel()`` therefore pins
+the kernel flags to the pure-XLA paths for the duration of the trace —
+head-sharded XLA attention partitions cleanly. (A shard_map'd flash kernel
+is the future upgrade path if per-device sequence lengths grow past the
+XLA-attention crossover.)
+
+Usage::
+
+    mesh = create_mesh_2d(dp=2, tp=4)
+    with tensor_parallel(mesh):
+        step = jax.jit(train_step, ...)   # trace INSIDE the context
+        state, metrics = step(state, shard_batch_2d(mesh, batch), rng)
+
+The context is trace-time state (same contract as ops.kernel_flags):
+entering it affects functions *traced* while it is active, not previously
+compiled executables.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+from typing import Any, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh_2d(
+    dp: int, tp: int, devices: Optional[Sequence[Any]] = None
+) -> Mesh:
+    """``(data, model)`` mesh. The model axis is the *minor* (fastest
+    varying) axis so TP collectives ride adjacent-chip ICI links."""
+    devs = list(devices) if devices is not None else jax.devices()
+    if dp * tp > len(devs):
+        raise ValueError(f"mesh {dp}x{tp} needs {dp * tp} devices, have {len(devs)}")
+    grid = np.asarray(devs[: dp * tp]).reshape(dp, tp)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+@dataclasses.dataclass(frozen=True)
+class TPContext:
+    mesh: Mesh
+    model_axis: str = MODEL_AXIS
+    data_axis: Optional[str] = DATA_AXIS
+
+
+_ACTIVE: Optional[TPContext] = None
+
+
+def active() -> Optional[TPContext]:
+    return _ACTIVE
+
+
+@contextlib.contextmanager
+def tensor_parallel(
+    mesh: Mesh,
+    model_axis: str = MODEL_AXIS,
+    data_axis: Optional[str] = DATA_AXIS,
+) -> Iterator[TPContext]:
+    """Enable TP sharding constraints for functions traced in this scope."""
+    global _ACTIVE
+    if model_axis not in mesh.axis_names:
+        raise ValueError(f"mesh has axes {mesh.axis_names}, no '{model_axis}'")
+    from ctrlora_tpu.ops import kernel_flags
+
+    ctx = TPContext(mesh=mesh, model_axis=model_axis, data_axis=data_axis)
+    prev = _ACTIVE
+    _ACTIVE = ctx
+    try:
+        # custom calls don't partition under GSPMD — take the XLA paths
+        with kernel_flags.override(
+            use_flash=False, geglu_ffn=False, fused_group_norm=False,
+            fuse_qkv=False,
+        ):
+            yield ctx
+    finally:
+        _ACTIVE = prev
+
+
+def _spec(ctx: TPContext, names: Sequence[Optional[str]]) -> P:
+    out = []
+    for n in names:
+        if n == "data":
+            out.append(ctx.data_axis)
+        elif n == "model":
+            out.append(ctx.model_axis)
+        else:
+            out.append(None)
+    return P(*out)
+
+
+def constrain(x: Any, *names: Optional[str]) -> Any:
+    """``with_sharding_constraint`` against the active TP mesh; identity when
+    no TP context is active (zero cost on the single-device path).
+
+    ``names`` maps each dim to 'data' / 'model' / None, e.g.
+    ``constrain(q, 'data', None, 'model')`` for a [B, S, inner] activation.
+    Dims not divisible by their axis size are left unconstrained rather than
+    silently padded (e.g. a 1-head VAE bottleneck under tp=4).
+    """
+    ctx = _ACTIVE
+    if ctx is None:
+        return x
+    if len(names) != x.ndim:
+        raise ValueError(f"spec {names} vs rank-{x.ndim} activation")
+    sizes = dict(zip(ctx.mesh.axis_names, ctx.mesh.devices.shape))
+    checked = []
+    for dim, n in zip(x.shape, names):
+        if n in ("data", "model"):
+            axis = ctx.data_axis if n == "data" else ctx.model_axis
+            if axis is None or dim % sizes.get(axis, 1) != 0:
+                checked.append(None)
+                continue
+        checked.append(n)
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(ctx.mesh, _spec(ctx, checked))
+    )
+
+
+def shard_batch_2d(mesh: Mesh, batch: Any) -> Any:
+    """Place a host-global batch onto a 2-D mesh: split on axis 0 over
+    ``data``, replicated over ``model``."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
