@@ -137,6 +137,12 @@ def bench_sampling(args) -> dict:
     else:
         cfg = ctrlora_inference_config(lora_num=1, lora_rank=128)
         size, steps, batch = args.size, args.steps, args.batch
+    if args.vae_dtype:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, vae=dataclasses.replace(cfg.vae, dtype=args.vae_dtype)
+        )
 
     pipe = CtrLoraPipeline(cfg)
     lat = size // (2 ** (len(cfg.vae.ch_mult) - 1))
@@ -365,6 +371,8 @@ def main():
     p.add_argument("--scan_unroll", type=int, default=1,
                    help="DDIM lax.scan body unroll factor")
     p.add_argument("--fp32_params", action="store_true", help="fp32 master params in the scan")
+    p.add_argument("--vae_dtype", type=str, default=None,
+                   help="override VAE compute dtype (e.g. bfloat16) for A/B")
     p.add_argument("--profile", type=str, default=None, help="jax.profiler trace dir")
     args = p.parse_args()
 

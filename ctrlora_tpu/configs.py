@@ -289,6 +289,11 @@ def ctrlora_inference_config(lora_num: int = 1, lora_rank: int = 128) -> ModelCo
             hint_mode="latent",
             lora=LoRAConfig(n_loras=lora_num, rank=lora_rank, switchable_banks=True),
         ),
+        # bf16 VAE at inference: on-chip A/B 2026-08-19 (4.061 vs 4.095
+        # s/batch headline); decode error vs fp32 is ~1% of signal
+        # (tests/test_models.py::test_vae_bf16_decode_matches_fp32) —
+        # invisible in the 8-bit output. Training keeps the fp32 VAE.
+        vae=VAEConfig(dtype="bfloat16"),
     )
 
 

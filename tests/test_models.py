@@ -163,6 +163,28 @@ def test_vae_roundtrip_shapes():
     assert rec.shape == (1, 32, 32, 3)
 
 
+def test_vae_bf16_decode_matches_fp32():
+    """bf16 VAE decode (the inference default's A/B candidate) must stay
+    numerically close to the fp32 reference decode: outputs are 8-bit
+    images downstream, so ~1% relative error is invisible."""
+    import dataclasses
+
+    cfg32 = dataclasses.replace(CFG.vae, dtype="float32")
+    cfg16 = dataclasses.replace(CFG.vae, dtype="bfloat16")
+    vae32, vae16 = AutoencoderKL(cfg32), AutoencoderKL(cfg16)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 32, 32, 3)) * 0.5
+    params = vae32.init(jax.random.PRNGKey(0), x)
+    # randomize so the decode is a non-trivial map (zero-init-free VAE, but
+    # keep scale moderate to mimic trained-weight magnitudes)
+    z = jax.random.normal(jax.random.PRNGKey(4), (1, 16, 16, 4))
+    r32 = np.asarray(vae32.apply(params, z, method=AutoencoderKL.decode))
+    r16 = np.asarray(vae16.apply(params, z, method=AutoencoderKL.decode))
+    scale = max(np.abs(r32).max(), 1e-6)
+    rel = np.abs(r32 - r16).max() / scale
+    assert rel < 0.05, f"bf16 decode diverges: rel={rel:.4f}"
+    assert r16.dtype == np.float32  # decode() upcasts its output
+
+
 def test_clip_shapes_and_causality():
     clip = CLIPTextModel(CFG.clip)
     ids = jnp.zeros((2, 16), jnp.int32).at[:, 0].set(1).at[:, 5].set(99)
