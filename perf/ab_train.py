@@ -12,6 +12,10 @@ Variants:
   bhsd      — flash via the [B,H,S,D] transpose layout
   noffn     — fused GEGLU FFN kernel off
   gsplit1   — GEGLU kernel without the 2-way MXU/VPU software pipeline
+  split0    — ResBlock residual add fused back into the conv (the
+              split_res_add barrier was adopted from a sampling-only A/B;
+              it shapes the backward graph too — VERDICT r4 weak #2)
+  nofuseqkv — separate q/k/v projection dots (fused dot was a sampling win)
 
 Kernel variants are trace-time flags (ctrlora_tpu.ops.kernel_flags), so one
 process compiles distinct executables per variant and times them
@@ -44,7 +48,8 @@ def main():
     p.add_argument("--reps", type=int, default=8, help="interleaved rounds")
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--size", type=int, default=512)
-    p.add_argument("--variants", default="default,noflash,bhsd,noffn")
+    p.add_argument("--variants",
+                   default="default,noflash,bhsd,noffn,gsplit1,split0")
     p.add_argument("--note", default="",
                    help="REQUIRED provenance line for the ledger row")
     args = p.parse_args()
@@ -88,6 +93,8 @@ def main():
         "bhsd": dict(attn_layout="bhsd"),
         "noffn": dict(geglu_ffn=False),
         "gsplit1": dict(geglu_split=1),
+        "split0": dict(split_res_add=False),
+        "nofuseqkv": dict(fuse_qkv=False),
     }
     names = [v for v in args.variants.split(",") if v in specs]
 
