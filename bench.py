@@ -18,8 +18,22 @@ giving 156*0.3/103 ~= 0.45 img/s; published SD1.5 A100 numbers (~2.5-3
 s/img at 50 steps batch-1, ControlNet ~+40% cost, batch-4 ~+30% throughput)
 land in the same 0.4-0.55 img/s band. We use 0.5 img/s.
 
-Finetune baseline: reference trains bs-1 rank-128 fp32 at ~3 it/s on one
-GPU (<1h for 1k imgs x ~3 epochs incl. overhead, README.md:29,255).
+Finetune baseline derivation (the reference publishes no train throughput;
+its only hard datum is "1,000 images ... less than 1 hour on a single GPU
+(20GB)" at bs 1, README.md:29,255, with checkpoint names recording 1k steps,
+api.py:35 — a >=0.28 img/s floor with unknown slack). Deriving the same way
+as the sampling baseline: the train step costs ~5.1 TFLOP/image analytically
+(train_tflops_per_step/batch in this output; MAC = 2 FLOPs, includes remat
+recompute). The reference trains fp32 Lightning (precision=32 default,
+scripts/train_ctrlora_finetune.py:43) — at TF32's 156 TFLOPS an A100 would
+need the sampling band's ~30% MFU to reach 9 img/s, but fp32 bs-1 Lightning
+training doesn't get there: per-step Python callbacks, unfused AdamW over
+361M control params, fp32 logvar paths, and bs-1 launch overhead hold
+measured torch ControlNet training to the 10-15% MFU band, i.e. 3.0-4.6
+img/s on A100 (the 20GB single GPU in the claim — a 4090 — is comparable:
+~82 TF32 TFLOPS but bs-1-bound). We use the band's low edge, 3.0 img/s,
+which is GENEROUS to the reference: at 3 img/s its 1k-step bs-1 finetune
+would finish in 5.6 min, 10x inside its own "<1 hour" envelope.
 
 Flags: --tiny runs the CPU-sized model (CI smoke), --steps/--batch/--size
 override the workload, --skip_train / --skip_sample select one section,
@@ -375,6 +389,12 @@ def main():
                    help="override VAE compute dtype (e.g. bfloat16) for A/B")
     p.add_argument("--profile", type=str, default=None, help="jax.profiler trace dir")
     args = p.parse_args()
+    if args.one_program and args.full_fetch:
+        # the single compiled program returns only the scalar checksum, so
+        # no bitmap ever crosses the host boundary — timing it as "full
+        # fetch" would be an apples-to-oranges A/B against phased runs
+        p.error("--one_program measures checksum-fetch only; "
+                "drop --full_fetch (phased dispatch) to time the bitmap transfer")
 
     # The shared TPU host occasionally kills a remote compile (helper
     # SIGKILL) or throws a transient ResourceExhausted; retry each section

@@ -289,11 +289,14 @@ def ctrlora_inference_config(lora_num: int = 1, lora_rank: int = 128) -> ModelCo
             hint_mode="latent",
             lora=LoRAConfig(n_loras=lora_num, rank=lora_rank, switchable_banks=True),
         ),
-        # bf16 VAE at inference: on-chip A/B 2026-08-19 (4.061 vs 4.095
-        # s/batch headline); decode error vs fp32 is ~1% of signal
+        # The VAE runs in bf16 here like everywhere else (VAEConfig's
+        # default; a deliberate departure from the reference's fp32 torch
+        # VAE): the on-chip A/B 2026-08-19 measured 4.061 vs 4.095 s/batch
+        # on the headline, and decode error vs fp32 is ~1% of signal
         # (tests/test_models.py::test_vae_bf16_decode_matches_fp32) —
-        # invisible in the 8-bit output. Training keeps the fp32 VAE.
-        vae=VAEConfig(dtype="bfloat16"),
+        # invisible in the 8-bit output. Train configs share the bf16
+        # default: the frozen encoder's ~1e-2 relative latent error is
+        # orders below the diffusion noise added at any trained timestep.
     )
 
 

@@ -121,8 +121,13 @@ class CrossAttention(nn.Module):
 
         # TP: shard the head-major inner dim over the model axis (whole
         # heads per shard) — the projection dots partition column-wise and
-        # the attention einsum runs collective-free per head group
-        q, k, v = (tp.constrain(t, "data", None, "model") for t in (q, k, v))
+        # the attention einsum runs collective-free per head group.
+        # model_units=heads: when heads % tp != 0 the constraint is skipped
+        # (a shard boundary inside dim_head would reshard around the einsum)
+        q, k, v = (
+            tp.constrain(t, "data", None, "model", model_units=self.heads)
+            for t in (q, k, v)
+        )
 
         b, sq, _ = q.shape
         split = lambda t: t.reshape(b, t.shape[1], self.heads, self.dim_head).transpose(0, 2, 1, 3)

@@ -11,6 +11,9 @@ insert the collectives. This is Megatron-style activation/compute TP:
     size inner/tp are whole heads, so the attention einsum partitions with
     zero communication; the output projection contracts over the sharded
     dim and XLA inserts ONE reduce per attention site (psum over ``model``).
+    This layout requires ``heads % tp == 0`` (SD1.5: 8 heads at every site,
+    so tp in {2,4,8}); sites where heads don't divide skip the constraint
+    and run replicated rather than resharding inside dim_head.
   * GEGLU FF: the hidden activation is sharded on ``model``; up-projection
     columns split, down-projection contracts with one psum.
   * everything else (convs, norms, embeddings) stays replicated on
@@ -92,6 +95,8 @@ def tensor_parallel(
     global _ACTIVE
     if model_axis not in mesh.axis_names:
         raise ValueError(f"mesh has axes {mesh.axis_names}, no '{model_axis}'")
+    if data_axis is not None and data_axis not in mesh.axis_names:
+        raise ValueError(f"mesh has axes {mesh.axis_names}, no '{data_axis}'")
     from ctrlora_tpu.ops import kernel_flags
 
     ctx = TPContext(mesh=mesh, model_axis=model_axis, data_axis=data_axis)
@@ -120,14 +125,24 @@ def _spec(ctx: TPContext, names: Sequence[Optional[str]]) -> P:
     return P(*out)
 
 
-def constrain(x: Any, *names: Optional[str]) -> Any:
+def constrain(
+    x: Any, *names: Optional[str], model_units: Optional[int] = None
+) -> Any:
     """``with_sharding_constraint`` against the active TP mesh; identity when
     no TP context is active (zero cost on the single-device path).
 
     ``names`` maps each dim to 'data' / 'model' / None, e.g.
     ``constrain(q, 'data', None, 'model')`` for a [B, S, inner] activation.
     Dims not divisible by their axis size are left unconstrained rather than
-    silently padded (e.g. a 1-head VAE bottleneck under tp=4).
+    silently padded (e.g. a 1-head VAE bottleneck under tp=4), and so is an
+    axis name the mesh does not carry (a data-only TPContext built by hand).
+
+    ``model_units``: when the dim carrying 'model' is a pack of larger units
+    (attention's inner dim = heads x dim_head), pass the unit count; the
+    model constraint is skipped unless ``model_units % tp == 0``, since a
+    shard boundary inside a unit (splitting dim_head) would force XLA to
+    reshard around the attention einsum — correct but collective-heavy,
+    defeating the whole-heads-per-shard layout this module promises.
     """
     ctx = _ACTIVE
     if ctx is None:
@@ -139,7 +154,12 @@ def constrain(x: Any, *names: Optional[str]) -> Any:
     for dim, n in zip(x.shape, names):
         if n in ("data", "model"):
             axis = ctx.data_axis if n == "data" else ctx.model_axis
-            if axis is None or dim % sizes.get(axis, 1) != 0:
+            size = sizes.get(axis) if axis is not None else None
+            if size is None or dim % size != 0:
+                checked.append(None)
+                continue
+            if (n == "model" and model_units is not None
+                    and model_units % size != 0):
                 checked.append(None)
                 continue
         checked.append(n)
