@@ -136,7 +136,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk,
 
 
 def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, heads,
-                       d, mxu_dtype, skip_max):
+                       d, mxu_dtype, skip_max, clamp, pipe):
     """hd-packed single-k-sweep forward: operands stay in the projections'
     natural [B, S, H*D] layout (block minor dim == array dim, which Mosaic
     always allows), and heads are separated INSIDE the kernel by static lane
@@ -154,23 +154,32 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, heads,
     pad on sublanes ("spt", 2026-08-19, 4.330 vs 4.137 — the [sk,bq]-
     oriented exp2 pass and strided transposed output write cost more than
     the pad saves). Don't retry a PV-orientation change without new
-    evidence; the remaining headroom here is VPU-side, not pad-side."""
+    evidence; the remaining headroom here is VPU-side, not pad-side:
+    ``pipe`` issues head h+1's QK matmul before head h's exp2/PV epilogue
+    so the MXU need not drain while the VPU walks the [bq, sk] logits, and
+    ``clamp=False`` drops the overflow-guard min() from that pass (see
+    kernel_flags.attn_clamp for the numerics contract)."""
     sk = k_ref.shape[1]
     bq = q_ref.shape[1]
-    for h in range(heads):
+
+    def qk(h):
         sl = slice(h * d, (h + 1) * d)
         q = q_ref[0][:, sl].astype(jnp.float32) * (scale * LOG2E)
         q = q.astype(mxu_dtype)
         k = k_ref[0][:, sl].astype(mxu_dtype)
-        v = v_ref[0][:, sl].astype(mxu_dtype)
-        v_aug = jnp.concatenate([v, jnp.ones((sk, 1), mxu_dtype)], axis=1)
-        s = jax.lax.dot_general(  # [bq, sk]
+        return jax.lax.dot_general(  # [bq, sk]
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    def epilogue(h, s):
+        sl = slice(h * d, (h + 1) * d)
+        v = v_ref[0][:, sl].astype(mxu_dtype)
+        v_aug = jnp.concatenate([v, jnp.ones((sk, 1), mxu_dtype)], axis=1)
         if skip_max:
             m = jnp.zeros((bq, 1), jnp.float32)
-            p = jnp.exp2(jnp.minimum(s, 110.0)).astype(mxu_dtype)
+            p = jnp.exp2(jnp.minimum(s, 110.0) if clamp else s)
+            p = p.astype(mxu_dtype)
         else:
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp2(s - m).astype(mxu_dtype)
@@ -183,6 +192,82 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, heads,
             l = jnp.maximum(l, 1e-30)
         o_ref[0, :, sl] = (acc[:, :d] / l).astype(o_ref.dtype)
         lse_ref[0, h, :] = ((m + jnp.log2(l)) * (1.0 / LOG2E))[:, 0]
+
+    if pipe:
+        # one-deep software pipeline over heads: the next head's QK is
+        # traced (and thus scheduled) before this head's VPU-heavy
+        # epilogue, keeping one logits block in flight. Costs one extra
+        # resident [bq, sk] fp32 block of VMEM.
+        s = qk(0)
+        for h in range(heads):
+            s_next = qk(h + 1) if h + 1 < heads else None
+            epilogue(h, s)
+            s = s_next
+    else:
+        for h in range(heads):
+            epilogue(h, qk(h))
+
+
+def _fwd_kernel_hpack2(q_ref, k_ref, v_ref, o_ref, lse_ref, kbd_ref, vbd_ref,
+                       *, scale, heads, d, mxu_dtype, clamp):
+    """Block-diagonal head-PAIR packing (the r4 verdict's proposed attack on
+    the d=40 lane pad): K/V for heads (2p, 2p+1) are laid out as
+    block-diagonal operands
+
+        Kbd = [[K0,  0], [ 0, K1]]   [2sk, 2d]
+        Vbd = [[V0, 0, 1, 0], [0, V1, 0, 1]]   [2sk, 2d+2]
+
+    so ONE QK matmul contracts 2d=80 of 128 lanes (vs 40) and ONE PV matmul
+    emits 2d+2=82 of 128 (vs 41). Cycle analysis predicts a wash — MXU
+    latency is M x N-tiles x K-tiles and any K<=128 costs one K-tile, so
+    QK goes from 2 matmuls x 32 N-tiles to 1 x 64 and PV from 2 x 32
+    K-tiles to 1 x 64 — but the verdict asked for the measurement, not the
+    argument. The operands are built ONCE per batch row (pl.when on the
+    q-block index) into VMEM scratch so the build cost doesn't confound
+    the steady state. skip_max-only (inference-perf experiment)."""
+    sk = k_ref.shape[1]
+    lanes = 128  # per-pair scratch stride, keeping every slice lane-aligned
+
+    @pl.when(pl.program_id(1) == 0)
+    def _build():  # new batch row: rebuild the block-diagonal operands
+        kbd_ref[...] = jnp.zeros(kbd_ref.shape, kbd_ref.dtype)
+        vbd_ref[...] = jnp.zeros(vbd_ref.shape, vbd_ref.dtype)
+        for p_ in range(heads // 2):
+            h0, h1 = 2 * p_, 2 * p_ + 1
+            k0 = k_ref[0][:, h0 * d:(h0 + 1) * d].astype(mxu_dtype)
+            k1 = k_ref[0][:, h1 * d:(h1 + 1) * d].astype(mxu_dtype)
+            kbd_ref[0:sk, p_ * lanes:p_ * lanes + d] = k0
+            kbd_ref[sk:2 * sk, p_ * lanes + d:p_ * lanes + 2 * d] = k1
+            v0 = v_ref[0][:, h0 * d:(h0 + 1) * d].astype(mxu_dtype)
+            v1 = v_ref[0][:, h1 * d:(h1 + 1) * d].astype(mxu_dtype)
+            vbd_ref[0:sk, p_ * lanes:p_ * lanes + d] = v0
+            vbd_ref[sk:2 * sk, p_ * lanes + d:p_ * lanes + 2 * d] = v1
+            ones = jnp.ones((sk, 1), mxu_dtype)
+            vbd_ref[0:sk, p_ * lanes + 2 * d:p_ * lanes + 2 * d + 1] = ones
+            vbd_ref[sk:2 * sk,
+                    p_ * lanes + 2 * d + 1:p_ * lanes + 2 * d + 2] = ones
+
+    for p_ in range(heads // 2):
+        h0 = 2 * p_
+        q = q_ref[0][:, h0 * d:(h0 + 2) * d].astype(jnp.float32)
+        q = (q * (scale * LOG2E)).astype(mxu_dtype)  # [bq, 2d]
+        kbd = kbd_ref[:, p_ * lanes:p_ * lanes + 2 * d]
+        s = jax.lax.dot_general(  # [bq, 2sk] — both heads' logits
+            q, kbd, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p = jnp.exp2(jnp.minimum(s, 110.0) if clamp else s).astype(mxu_dtype)
+        vbd = vbd_ref[:, p_ * lanes:p_ * lanes + 2 * d + 2]
+        acc = jax.lax.dot_general(  # [bq, 2d+2] = [o0 | o1 | l0 | l1]
+            p, vbd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for j, h in enumerate((h0, h0 + 1)):
+            l = jnp.maximum(acc[:, 2 * d + j:2 * d + j + 1], 1e-30)
+            o_ref[0, :, h * d:(h + 1) * d] = (
+                acc[:, j * d:(j + 1) * d] / l
+            ).astype(o_ref.dtype)
+            lse_ref[0, h, :] = (jnp.log2(l) * (1.0 / LOG2E))[:, 0]
 
 
 def _packed_sweep_vmem(block_q: int, sk: int, heads: int, d: int,
@@ -280,6 +365,11 @@ _PACKED_MEASURED_OVER_EST = 18.0 / 13.0
 _PACKED_SWEEP_LIMIT = int(24 * (1 << 20))
 _PACKED_VMEM_GRANT = 48 * (1 << 20)  # v5e has 128MB VMEM
 
+# Default for the packed kernel's head-loop software pipeline (see
+# _fwd_kernel_packed): OFF until an on-chip ledger A/B adopts it —
+# CTRLORA_KERNELS=apipe / apipe=0 overrides either way.
+_APIPE_DEFAULT = False
+
 
 def _flash_forward(q, k, v, scale, bshd=False):
     fl = flags()
@@ -334,10 +424,29 @@ def _flash_forward(q, k, v, scale, bshd=False):
                     block_q = bq_cand
                     break
         assert block_q is not None, "caller must check _packed_ok first"
-        kern = functools.partial(_fwd_kernel_packed, scale=scale, heads=h,
-                                 d=d, mxu_dtype=mxu_dtype,
-                                 skip_max=not fl.safemax)
         hd = h * d
+        clamp = fl.attn_clamp if fl.attn_clamp is not None else True
+        hpack = (fl.head_pack or 1) > 1
+        if hpack and (fl.safemax or h % 2 != 0 or 2 * d > 128
+                      or pltpu is None):
+            hpack = False  # experiment path: pairs only, skip-max only,
+            # and pltpu must resolve (the kernel needs VMEM scratch refs)
+        scratch = []
+        if hpack:
+            kern = functools.partial(_fwd_kernel_hpack2, scale=scale,
+                                     heads=h, d=d, mxu_dtype=mxu_dtype,
+                                     clamp=clamp)
+            scratch = [
+                pltpu.VMEM((2 * sk, 128 * (h // 2)), mxu_dtype),
+                pltpu.VMEM((2 * sk, 128 * (h // 2)), mxu_dtype),
+            ]
+        else:
+            pipe = (fl.attn_pipe if fl.attn_pipe is not None
+                    else _APIPE_DEFAULT)
+            kern = functools.partial(_fwd_kernel_packed, scale=scale,
+                                     heads=h, d=d, mxu_dtype=mxu_dtype,
+                                     skip_max=not fl.safemax, clamp=clamp,
+                                     pipe=pipe)
         qp, kp, vp = (t.reshape(t.shape[0], t.shape[1], hd) for t in (q, k, v))
         out, lse = pl.pallas_call(
             kern,
@@ -355,6 +464,7 @@ def _flash_forward(q, k, v, scale, bshd=False):
                 jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
                 jax.ShapeDtypeStruct((b, h, sq), jnp.float32),
             ],
+            scratch_shapes=scratch,
             # raise the per-kernel VMEM limit explicitly (see
             # _PACKED_SWEEP_LIMIT above for the admission math)
             compiler_params=(pltpu.CompilerParams(

@@ -73,13 +73,29 @@ class KernelFlags:
     # packed flash kernel the jnp.split slices may force operand copies —
     # =0 issues separate dots that write each operand buffer directly
     fuse_qkv: Optional[bool] = None  # None -> ON
+    # overflow clamp in the skip-max flash softmax (the min(s, 110) fused
+    # into the exp2 pass). None -> ON. =0 drops the min — one fewer VPU op
+    # per logits element on the kernel's hottest pass; exact for natural
+    # logits < 127/log2(e) ~= 88 (SD observes < ~30) but overflows to
+    # NaN beyond, so it is an A/B knob, not a general-safety default
+    attn_clamp: Optional[bool] = None
+    # software-pipeline the hd-packed kernel's head loop: issue head h+1's
+    # QK matmul before head h's exp2/PV epilogue so the MXU never waits on
+    # the VPU pass. None -> auto (see flash_attention._APIPE_DEFAULT)
+    attn_pipe: Optional[bool] = None
+    # pack N heads per matmul via block-diagonal K/V operands (the r4
+    # verdict's proposed pad attack). Cycle analysis says MXU latency is
+    # M x N-tiles x K-tiles and K<=128 always costs one K-tile, so packing
+    # the d=40 contraction is a wash; this knob exists to measure it
+    head_pack: Optional[int] = None  # None -> 1 (no packing)
 
 
 _ENV = "CTRLORA_KERNELS"
 _BOOL_FIELDS = {"geglu": "geglu_ffn", "fused_gn": "fused_group_norm",
-                "split_res_add": "split_res_add", "fuse_qkv": "fuse_qkv"}
+                "split_res_add": "split_res_add", "fuse_qkv": "fuse_qkv",
+                "clamp": "attn_clamp", "apipe": "attn_pipe"}
 _INT_FIELDS = {"bq": "block_q", "bk": "block_k", "packed_bq": "packed_block_q",
-               "gsplit": "geglu_split"}
+               "gsplit": "geglu_split", "hpack": "head_pack"}
 _parse_cache: dict[str, KernelFlags] = {}
 _overrides: dict[str, object] = {}
 

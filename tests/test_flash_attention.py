@@ -133,6 +133,30 @@ def test_forward_huge_logits_stay_finite():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.parametrize("name,ov", [
+    ("apipe", {"attn_pipe": True}),
+    ("noclamp", {"attn_clamp": False}),
+    ("hpack2", {"head_pack": 2}),
+])
+def test_forward_bshd_variant_knobs_match_default(name, ov):
+    """Round-5 perf knobs on the hd-packed forward (head-loop software
+    pipeline, clamp drop, block-diagonal head-pair packing) are pure
+    schedule/layout changes — outputs must be bit-identical to the default
+    packed kernel for in-range logits."""
+    from ctrlora_tpu.ops.flash_attention import dot_product_attention_bshd
+    from ctrlora_tpu.ops.kernel_flags import override
+
+    b, s, h, d = 2, 256, 4, 40
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = jax.random.normal(ks[0], (b, s, h, d))
+    k = jax.random.normal(ks[1], (b, s, h, d))
+    v = jax.random.normal(ks[2], (b, s, h, d))
+    base = dot_product_attention_bshd(q, k, v)
+    with override(**ov):
+        out = dot_product_attention_bshd(q, k, v)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
+
+
 def test_forward_bshd_matches_xla():
     """BSHD entry (natural projection layout, no BHSD transpose) must match
     the XLA reference; exercises the singleton-head-dim BlockSpec indexing
