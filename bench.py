@@ -343,11 +343,13 @@ def bench_train(args) -> dict:
     flops = _traced_flops(step, state, batch_data, rng)
     state, m = step(state, batch_data, rng)
     float(m["loss"])  # compile+warm, forced host transfer
-    t0 = time.perf_counter()
-    for _ in range(args.train_reps):
-        state, m = step(state, batch_data, rng)
-    float(m["loss"])  # the step chain is sequential on state
-    dt = (time.perf_counter() - t0) / args.train_reps
+    with _MaybeProfile(args.profile if args.skip_sample or args.train
+                       else None):
+        t0 = time.perf_counter()
+        for _ in range(args.train_reps):
+            state, m = step(state, batch_data, rng)
+        float(m["loss"])  # the step chain is sequential on state
+        dt = (time.perf_counter() - t0) / args.train_reps
     img_per_sec = batch / dt
     out = {
         "train_metric": f"rank-128 lora finetune step b{batch} {size}x{size}",

@@ -132,13 +132,19 @@ class CrossAttention(nn.Module):
         b, sq, _ = q.shape
         split = lambda t: t.reshape(b, t.shape[1], self.heads, self.dim_head).transpose(0, 2, 1, 3)
 
-        if kernel_flags.flags().attn_layout == "bshd":
+        heads4 = lambda t: t.reshape(b, t.shape[1], self.heads, self.dim_head)
+        if tp.active() is not None:
+            # TP: shard_map the flash kernel over whole head groups (or the
+            # XLA path for non-dividing shapes) — see tp.attention_bshd
+            out = tp.attention_bshd(
+                heads4(q), heads4(k), heads4(v), use_flash=self.use_flash
+            ).reshape(b, sq, inner)
+        elif kernel_flags.flags().attn_layout == "bshd":
             # DEFAULT since the 2026-08-18 ledger A/B (4.126 vs 4.399
             # s/batch): head-split WITHOUT the BHSD transpose — the
             # hd-packed flash kernel slices head columns itself, saving a
             # layout copy of q/k/v/out per site. CTRLORA_KERNELS=bhsd
             # restores the transpose path for comparisons.
-            heads4 = lambda t: t.reshape(b, t.shape[1], self.heads, self.dim_head)
             out = dot_product_attention_bshd(
                 heads4(q), heads4(k), heads4(v), use_flash=self.use_flash
             ).reshape(b, sq, inner)

@@ -158,7 +158,20 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, heads,
     ``pipe`` issues head h+1's QK matmul before head h's exp2/PV epilogue
     so the MXU need not drain while the VPU walks the [bq, sk] logits, and
     ``clamp=False`` drops the overflow-guard min() from that pass (see
-    kernel_flags.attn_clamp for the numerics contract)."""
+    kernel_flags.attn_clamp for the numerics contract).
+
+    Round-5 adjudication (ledger 2026-08-19, 4-round interleaved e2e A/B):
+    noclamp won its microbench (+4% at the dominant d40 geometry,
+    perf/attn_packed_bench.py) but measured NEUTRAL end-to-end (min 4.080
+    vs 4.079 s/batch) — the min pass is already hidden in the full graph —
+    and apipe likewise (4.099 vs 4.079). Both knobs stay available but OFF.
+    The head-pair block-diagonal packing (_fwd_kernel_hpack2 below) LOST
+    (4.134 vs 4.079), as the MXU cycle model predicts: latency is
+    M x N-tiles x K-tiles and any K<=128 costs one K-tile, so packing the
+    d=40 contraction trades nothing for scratch-build overhead. exp2 in
+    bf16 was analyzed and rejected without measurement: at unshifted-logit
+    magnitudes (|s2|~44) bf16's 8-bit mantissa gives 0.25-ULP argument
+    rounding = up to ~19% per-element probability error."""
     sk = k_ref.shape[1]
     bq = q_ref.shape[1]
 

@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import contextlib
 import dataclasses
+import functools
 from typing import Any, Iterator, Optional, Sequence
 
 import jax
@@ -103,10 +104,14 @@ def tensor_parallel(
     prev = _ACTIVE
     _ACTIVE = ctx
     try:
-        # custom calls don't partition under GSPMD — take the XLA paths
+        # custom calls don't partition under GSPMD — take the XLA paths for
+        # GEGLU/GroupNorm/qkv-fusion. Flash attention is NOT pinned off:
+        # transformer attention routes through attention_bshd below, which
+        # shard_maps the Pallas kernel over whole head groups; the only
+        # other flash site (the VAE mid-block) runs on model-replicated
+        # activations where the custom call partitions trivially.
         with kernel_flags.override(
-            use_flash=False, geglu_ffn=False, fused_group_norm=False,
-            fuse_qkv=False,
+            geglu_ffn=False, fused_group_norm=False, fuse_qkv=False,
         ):
             yield ctx
     finally:
@@ -173,3 +178,73 @@ def shard_batch_2d(mesh: Mesh, batch: Any) -> Any:
     ``data``, replicated over ``model``."""
     sharding = NamedSharding(mesh, P(DATA_AXIS))
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def attention_bshd(q, k, v, use_flash: bool = True):
+    """Attention under TP without surrendering the Pallas kernel.
+
+    GSPMD cannot partition a custom call's insides, so running the flash
+    kernel on model-sharded activations would force XLA to all-gather the
+    very heads we sharded. Instead, when the layout divides cleanly —
+    whole heads per model shard, whole batch rows per data shard — the
+    kernel is ``shard_map``-ped over the mesh: each device runs the packed
+    BSHD flash forward on its own head group, collective-free (the r4
+    future-work item at the top of this module, now closed). Non-dividing
+    geometries fall back to the XLA softmax path, which GSPMD partitions
+    freely. Identity to the unsharded kernel up to reduction order.
+
+    Inputs/outputs are [B, S, H, D] (the projections' natural layout).
+    """
+    from ctrlora_tpu.ops.flash_attention import dot_product_attention_bshd
+
+    ctx = _ACTIVE
+    if ctx is None:
+        return dot_product_attention_bshd(q, k, v, use_flash=use_flash)
+    sizes = dict(zip(ctx.mesh.axis_names, ctx.mesh.devices.shape))
+    tp_size = sizes[ctx.model_axis]
+    dp_size = sizes.get(ctx.data_axis, 1) if ctx.data_axis else 1
+    b, h = q.shape[0], q.shape[2]
+    if not use_flash or h % tp_size != 0 or b % dp_size != 0:
+        return dot_product_attention_bshd(q, k, v, use_flash=False)
+    from jax.experimental.shard_map import shard_map
+
+    spec = P(ctx.data_axis, None, ctx.model_axis, None)
+    local = functools.partial(dot_product_attention_bshd, use_flash=True)
+    return shard_map(
+        local, mesh=ctx.mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_rep=False,
+    )(q, k, v)
+
+
+def tp_sample_jit(fn, mesh: Mesh):
+    """Model-parallel inference wrapper (the 2-D analog of
+    parallel.mesh.dp_sample_jit): jit ``fn(params, *batch_arrays)`` over a
+    ``(data, model)`` mesh with params replicated, batch args split on
+    ``data``, and the in-model ``constrain()`` sites sharding attention
+    heads / GEGLU hidden over ``model``. This drops the per-device batch
+    below 1-per-chip DP's floor — the latency path for small batches, which
+    pure DP cannot shard at all (dp_sample_jit needs bs % ndev == 0; TP
+    needs only bs % dp == 0).
+
+    ``fn`` is traced INSIDE ``tensor_parallel(mesh)`` at first call, so the
+    wrapper owns the context; callers just call the returned function.
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+
+    def shard_for(x):
+        if hasattr(x, "ndim") and x.ndim >= 2:
+            return data
+        return repl
+
+    jitted = jax.jit(fn)
+
+    def call(params, *batch):
+        params = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), params
+        )
+        batch = [jax.device_put(x, shard_for(x)) for x in batch]
+        with tensor_parallel(mesh):
+            return jitted(params, *batch)
+
+    return call

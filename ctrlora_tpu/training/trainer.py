@@ -33,7 +33,12 @@ class Trainer:
         workdir: str,
         params=None,
         use_mesh: bool = True,
+        tp: int = 1,
     ):
+        """``tp > 1`` trains over a 2-D ``(data, model)`` mesh: batch sharded
+        on ``data``, attention heads / GEGLU hidden sharded on ``model``
+        (parallel/tp.py). Requires tp | device_count; the reference has no
+        tensor parallelism at all (Lightning DDP only)."""
         self.pipe = pipe
         self.cfg = cfg
         self.workdir = workdir
@@ -50,7 +55,18 @@ class Trainer:
         is_xs = pipe.cfg.control is not None and pipe.cfg.control.variant == "xs"
         self.state, self.tx, self.mask = create_train_state(params, cfg, xs=is_xs)
         self.step_fn = make_train_step(pipe, self.tx, cfg, mask=self.mask)
-        self.mesh = create_mesh() if use_mesh else None
+        self.tp = int(tp)
+        if self.tp > 1:
+            from ctrlora_tpu.parallel.tp import create_mesh_2d
+
+            ndev = jax.device_count()
+            if ndev % self.tp != 0:
+                raise ValueError(
+                    f"--tp {self.tp} does not divide {ndev} devices"
+                )
+            self.mesh = create_mesh_2d(ndev // self.tp, self.tp)
+        else:
+            self.mesh = create_mesh() if use_mesh else None
         if self.mesh is not None:
             if cfg.shard_opt_state:
                 # ZeRO-style: replicate params (forward stays gather-free),
@@ -77,6 +93,18 @@ class Trainer:
             for path, m in jax.tree_util.tree_leaves_with_path(self.mask):
                 if m:
                     f.write(jax.tree_util.keystr(path) + "\n")
+
+    def _tp_scope(self):
+        """Trace-time TP context: sharding constraints + XLA kernel paths
+        are applied to functions *traced* inside it (first step only; later
+        steps hit the jit cache), so it must wrap every step call."""
+        if self.tp > 1:
+            from ctrlora_tpu.parallel.tp import tensor_parallel
+
+            return tensor_parallel(self.mesh)
+        import contextlib
+
+        return contextlib.nullcontext()
 
     def _log_host(self, d: dict) -> None:
         if jax.process_index() != 0:
@@ -105,7 +133,8 @@ class Trainer:
                 break
             if self.mesh is not None:
                 batch = shard_batch(self.mesh, batch)
-            self.state, metrics = self.step_fn(self.state, batch, rng)
+            with self._tp_scope():
+                self.state, metrics = self.step_fn(self.state, batch, rng)
             window.append(metrics)
             step += 1
             if step % cfg.log_every == 0:

@@ -144,6 +144,15 @@ def main():
         "nocfg": dict(use_fused=True, unroll=1, flags=None, guidance=1.0),
         "nocontrol": dict(use_fused=True, unroll=1, flags=None, control=False),
         "noflash": dict(use_fused=True, unroll=1, flags=dict(use_flash=False)),
+        # round-5 packed-forward schedule knobs (perf/attn_packed_bench.py:
+        # noclamp +4% at the dominant d40 site, apipe +2% d40 / -16% d80,
+        # hpack2 loses — measuring end-to-end before flipping any default)
+        "noclamp": dict(use_fused=True, unroll=1,
+                        flags=dict(attn_clamp=False)),
+        "apipe": dict(use_fused=True, unroll=1, flags=dict(attn_pipe=True)),
+        "hpack2": dict(use_fused=True, unroll=1, flags=dict(head_pack=2)),
+        "apipenoclamp": dict(use_fused=True, unroll=1,
+                             flags=dict(attn_pipe=True, attn_clamp=False)),
     }
     names = [v for v in args.variants.split(",") if v in specs]
 

@@ -52,6 +52,11 @@ def main():
     p.add_argument("--dp", action="store_true",
                    help="data-parallel sampling over all devices (batch "
                         "sharded on a 1-D mesh; --bs must divide evenly)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel size: sample over a (data, model) "
+                        "mesh, attention heads / GEGLU hidden sharded N-way "
+                        "(latency path for small batches; must divide the "
+                        "device count, --bs must divide devices/tp)")
     args = p.parse_args()
 
     import jax
@@ -118,7 +123,23 @@ def main():
     f = 2 ** (len(cfg.vae.ch_mult) - 1)
 
     mesh = None
-    if args.dp:
+    wrap_jit = None
+    if args.tp > 1:
+        from ctrlora_tpu.parallel.tp import create_mesh_2d, tp_sample_jit
+
+        ndev = jax.device_count()
+        assert ndev % args.tp == 0, (
+            f"--tp {args.tp} must divide the {ndev} devices"
+        )
+        dp_size = ndev // args.tp
+        assert args.bs % dp_size == 0, (
+            f"--bs {args.bs} must be a multiple of dp={dp_size} "
+            f"({ndev} devices / tp {args.tp})"
+        )
+        mesh = create_mesh_2d(dp_size, args.tp)
+        wrap_jit = tp_sample_jit
+        print(f"tensor-parallel sampling: {dp_size}x{args.tp} mesh", flush=True)
+    elif args.dp:
         from ctrlora_tpu.parallel.mesh import create_mesh, dp_sample_jit
 
         mesh = create_mesh()
@@ -126,6 +147,7 @@ def main():
         assert args.bs % ndev == 0, (
             f"--bs {args.bs} must be a multiple of the {ndev} devices"
         )
+        wrap_jit = dp_sample_jit
         print(f"data-parallel sampling over {ndev} devices", flush=True)
 
     sample_jit = None
@@ -175,7 +197,7 @@ def main():
                 return jnp.clip(img * 127.5 + 127.5, 0, 255).astype(jnp.uint8)
 
             sample_jit = (
-                dp_sample_jit(sample_fn, mesh) if mesh is not None
+                wrap_jit(sample_fn, mesh) if mesh is not None
                 else jax.jit(sample_fn)
             )
 

@@ -50,6 +50,11 @@ def main():
     p.add_argument("--ckpt_logger_freq", type=int, default=1000)
     p.add_argument("--name", type=str, default=None)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel size: train over a (data, model) "
+                        "mesh with attention heads / GEGLU hidden sharded "
+                        "over N-way model parallelism (must divide device "
+                        "count; parallel/tp.py)")
     p.add_argument("--use_ema", action="store_true", help="EMA of trainable params")
     p.add_argument("--shard_opt_state", action="store_true", help="ZeRO-style Adam-moment sharding")
     p.add_argument("--num_workers", type=int, default=8)
@@ -107,7 +112,7 @@ def main():
 
     name = args.name or datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
     workdir = os.path.join("runs", name)
-    trainer = Trainer(pipe, tcfg, workdir, params=params)
+    trainer = Trainer(pipe, tcfg, workdir, params=params, tp=args.tp)
     if args.resume:
         trainer.restore(args.resume)
     hook = make_image_log_hook(pipe, workdir)

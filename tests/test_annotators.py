@@ -50,6 +50,7 @@ def test_pad_grows(img):
     assert out.shape == (96 + 2 * 24, 128 + 2 * 32, 3)
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r5 #7): >25s on CPU
 def test_hed_runs_random_weights(img):
     det = registry.get("hed")
     out = det(img)

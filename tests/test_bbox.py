@@ -50,6 +50,7 @@ def test_cfg_structure(net):
     assert set(COCO_CLASSES) | {"background"} == set(COLOR_DICT)
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r5 #7): >25s on CPU
 def test_weights_roundtrip_and_forward(net, tmp_path):
     rng = np.random.default_rng(0)
     n = net.n_weight_floats()

@@ -51,6 +51,7 @@ def test_apply_model_with_rows_matches_inloop():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r5 #7): >25s on CPU
 def test_fused_override_rows_match():
     pipe, params = make_pipe()
     params = _randomized_lora(params)
@@ -69,6 +70,7 @@ def test_fused_override_rows_match():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r5 #7): >25s on CPU
 def test_ddim_sample_hoist_on_off_identical():
     pipe, params = make_pipe()
     params = _randomized_lora(params)
@@ -94,6 +96,7 @@ def test_ddim_sample_hoist_on_off_identical():
     np.testing.assert_allclose(np.asarray(z_on), np.asarray(z_off), atol=2e-4)
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r5 #7): >25s on CPU
 def test_unsupported_variant_falls_back():
     cfg = tiny_test_config(hint_mode="image")
     cfg = dataclasses.replace(
@@ -133,6 +136,7 @@ def test_plms_hoist_on_off_identical():
     np.testing.assert_allclose(np.asarray(z_on), np.asarray(z_off), atol=2e-4)
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r5 #7): >25s on CPU
 def test_dpm_solver_hoist_on_off_identical():
     from ctrlora_tpu.sampling.dpm_solver import dpm_solver_sample
 

@@ -340,6 +340,7 @@ def test_cfg_sampling_respects_control_params_override():
         )
 
 
+@pytest.mark.slow  # fast-lane budget (VERDICT r5 #7): >25s on CPU
 def test_image_log_hook_grid(tmp_path):
     """The periodic grid mirrors the reference's log_images rows
     (cldm/cldm.py:351-409): prompt strip + control + reconstruction +

@@ -97,3 +97,79 @@ def test_tp_forward_matches_plain():
     with tensor_parallel(mesh):
         got = np.asarray(jax.jit(fwd)(params, x, t, ctx, hz))
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.slow
+def test_trainer_tp_flag_e2e(tmp_path):
+    """The user-reachable TP surface: Trainer(tp=2) — what the train CLIs'
+    --tp flag constructs — builds the 2-D mesh and completes steps with a
+    finite loss on the virtual 8-device platform."""
+    from ctrlora_tpu.training.trainer import Trainer
+
+    pipe, tcfg, _, _, batch = _setup()
+    tr = Trainer(pipe, tcfg, str(tmp_path), tp=2)
+    assert tr.mesh.devices.shape == (4, 2)
+    assert tr.mesh.axis_names == ("data", "model")
+    state = tr.fit(iter([batch, batch]), max_steps=2)
+    assert int(state.step) == 2
+    with pytest.raises(ValueError):
+        Trainer(pipe, tcfg, str(tmp_path), tp=3)  # 3 does not divide 8
+
+
+@pytest.mark.slow
+def test_tp_sample_jit_matches_plain():
+    """tp_sample_jit (scripts/sample.py --tp) == plain jit output."""
+    from ctrlora_tpu.parallel.tp import tp_sample_jit
+    from ctrlora_tpu.pipeline import Conditioning
+    from ctrlora_tpu.sampling.ddim import DDIMConfig, ddim_sample
+
+    cfg = tiny_test_config(n_loras=1)
+    pipe = CtrLoraPipeline(cfg)
+    params = pipe.init(jax.random.PRNGKey(0), image_size=8)
+    B = 4
+    ids = jnp.ones((B, cfg.clip.max_length), jnp.int32)
+    nids = jnp.zeros((B, cfg.clip.max_length), jnp.int32)
+    hint = jnp.ones((B, 32, 32, 3), jnp.float32) * 0.5
+
+    def sample_fn(params, hint, ids, nids, rng):
+        ctx = pipe.encode_text_tokens(params, ids)
+        unc = pipe.encode_text_tokens(params, nids)
+        hz = pipe.encode_first_stage(params, hint)
+        z = ddim_sample(
+            pipe, params, rng, ctx, unc,
+            [Conditioning(hz, lora_idx=jnp.int32(0))],
+            (B, 16, 16, 4), DDIMConfig(steps=2, guidance_scale=7.5),
+        )
+        return pipe.decode_first_stage(params, z)
+
+    rng = jax.random.PRNGKey(2)
+    ref = np.asarray(jax.jit(sample_fn)(params, hint, ids, nids, rng))
+    mesh = create_mesh_2d(2, 4)
+    got = np.asarray(tp_sample_jit(sample_fn, mesh)(params, hint, ids, nids, rng))
+    np.testing.assert_allclose(got, ref, atol=3e-5, rtol=3e-5)
+
+
+@pytest.mark.slow
+def test_tp_shard_mapped_attention_matches_plain():
+    """attention_bshd under a dividing (data, model) layout takes the
+    shard_map route (whole heads per shard, collective-free) and must match
+    the unsharded kernel; non-dividing heads fall back to the XLA path with
+    the same output."""
+    from ctrlora_tpu.parallel.tp import attention_bshd
+
+    b, s, h, d = 4, 64, 2, 16
+    ks = jax.random.split(jax.random.PRNGKey(9), 3)
+    q = jax.random.normal(ks[0], (b, s, h, d))
+    k = jax.random.normal(ks[1], (b, s, h, d))
+    v = jax.random.normal(ks[2], (b, s, h, d))
+    ref = np.asarray(attention_bshd(q, k, v))  # no ctx: plain path
+
+    mesh = create_mesh_2d(2, 2)  # heads % 2 == 0 -> shard_map route
+    with tensor_parallel(mesh):
+        got = np.asarray(jax.jit(attention_bshd)(q, k, v))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+    mesh4 = create_mesh_2d(2, 4)  # heads % 4 != 0 -> XLA fallback route
+    with tensor_parallel(mesh4):
+        got4 = np.asarray(jax.jit(attention_bshd)(q, k, v))
+    np.testing.assert_allclose(got4, ref, atol=2e-5, rtol=2e-5)
