@@ -108,6 +108,16 @@ def _traced_flops(fn, *args) -> float | None:
             return fn_flops(fn, *args)
     except Exception:
         return None
+    finally:
+        # CRITICAL: if fn is a jitted function, make_jaxpr just populated
+        # its trace cache UNDER THE OVERRIDE — a later fn(...) call with the
+        # same avals would silently execute the flash-disabled graph. Every
+        # BENCH_r01..r04 train number hit exactly this: bench_train timed
+        # the noflash step (the round-5 train profile showed XLA einsum
+        # attention at every differentiated site; tests/test_bench.py
+        # reproduces the poisoning). Drop the tainted trace.
+        if hasattr(fn, "clear_cache"):
+            fn.clear_cache()
 
 
 def _init_on_device(make_fn):

@@ -73,6 +73,12 @@ def main():
     i_cat = col("category")
     i_self = col("total self time (us)", "self time (us)", "self-time", "self time")
     i_occ = col("#occurrences", "occurrences", "count")
+    # jax autodiff leaves its trail in the framework op path ("Framework op
+    # name" column): backward ops live under a "transpose(jvp(Module))"
+    # scope, remat recomputes under "rematted_computation", and the
+    # optimizer update carries the optax op names. Used by the train-step
+    # rollup below; absent in some xprof versions (falls back gracefully).
+    i_expr = col("framework op name", "tf op name", "op expression")
     if i_self is None or i_name is None:
         print(data[:4000])
         sys.exit("could not locate name/self-time columns; raw dump above")
@@ -131,6 +137,46 @@ def main():
     for b, us in by_bucket.most_common():
         print(f"{us/1e3:10.2f} ms  {100*us/max(total,1):5.1f}%  "
               f"{occ_by_bucket[b]:8d} launches  {b}")
+
+    # train-step rollup (VERDICT r4 next #4): split every semantic bucket by
+    # autodiff direction and by model module using the framework op path.
+    # "transpose(jvp(M))" marks M's VJP cotangent graph, ops additionally
+    # under "rematted_computation" are jax.checkpoint recomputes, and
+    # optax/adam names mark the optimizer update.
+    def direction(expr: str) -> str:
+        e = expr.lower()
+        if any(s in e for s in ("adamw", "adam/", "scale_by_adam", "optax",
+                                "apply_updates", "update_moment", "lamb/")):
+            return "optimizer"
+        if "transpose(" in e:
+            if "rematted_computation" in e:
+                return "bwd-remat"
+            return "bwd"
+        return "fwd"
+
+    def module(expr: str) -> str:
+        # innermost jvp(Module) scope names the subsystem
+        last = None
+        for part in expr.split("/"):
+            if "jvp(" in part:
+                last = part[part.rindex("jvp(") + 4:].rstrip(")")
+        return last or "glue"
+
+    if i_expr is not None:
+        by_dir = collections.Counter()
+        by_mod = collections.Counter()
+        for r in rows:
+            b = bucket(str(r[i_name]), r[i_cat] if i_cat is not None else "?")
+            e = str(r[i_expr])
+            d = direction(e)
+            by_dir[(d, b)] += fnum(r[i_self])
+            by_mod[(direction(e), module(e))] += fnum(r[i_self])
+        print("\n== train-direction x bucket rollup (self us) ==")
+        for (d, b), us in by_dir.most_common():
+            print(f"{us/1e3:10.2f} ms  {100*us/max(total,1):5.1f}%  {d:10s} {b}")
+        print("\n== train-direction x module rollup (self us) ==")
+        for (d, m), us in by_mod.most_common():
+            print(f"{us/1e3:10.2f} ms  {100*us/max(total,1):5.1f}%  {d:10s} {m}")
 
     print(f"\n== top {args.top} ops by self time ==")
     srt = sorted(rows, key=lambda r: -fnum(r[i_self]))
