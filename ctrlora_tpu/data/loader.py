@@ -58,17 +58,19 @@ class Loader:
             # per-example rng: deterministic in (seed, step, global position)
             rng = np.random.default_rng((self.seed, 0xDA7A, step, lo + j))
             examples.append(ds.get(int(idx), rng))
-        jpg = np.stack([e["jpg"] for e in examples])
-        hint = np.stack([e["hint"] for e in examples])
         ids = self.tokenizer(
             [e["txt"] for e in examples], max_length=self.max_length
         )
-        return {
-            "jpg": jpg,
-            "hint": hint,
-            "token_ids": ids,
-            "task_idx": np.full((len(examples),), task, np.int32),
+        # stack every array field the dataset emits: jpg/hint for pixel
+        # datasets, jpg_moments/hint_moments for latent-cached ones
+        batch = {
+            k: np.stack([e[k] for e in examples])
+            for k in examples[0]
+            if k != "txt"
         }
+        batch["token_ids"] = ids
+        batch["task_idx"] = np.full((len(examples),), task, np.int32)
+        return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         return self.iterate(0)

@@ -162,6 +162,16 @@ class CtrLoraPipeline:
         z = mean if rng is None else sample_posterior(mean, logvar, rng)
         return self.cfg.diffusion.scale_factor * z
 
+    def first_stage_from_moments(
+        self, moments: jnp.ndarray, rng: Optional[jax.Array] = None
+    ) -> jnp.ndarray:
+        """encode_first_stage from precomputed posterior moments
+        (mean | logvar concatenated on channels — training/latent_cache.py).
+        Same sampling + scaling semantics as the pixel path."""
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        z = mean if rng is None else sample_posterior(mean, logvar, rng)
+        return self.cfg.diffusion.scale_factor * z
+
     def decode_first_stage(self, params: Params, z: jnp.ndarray) -> jnp.ndarray:
         return self.vae.apply(
             params.vae, z / self.cfg.diffusion.scale_factor, method=AutoencoderKL.decode

@@ -16,6 +16,10 @@ Batches are dicts of arrays:
             by the data layer)
   task_idx  [] or [B] int32, optional     (LoRA index; batches are single-
             task by construction, the scheduler guarantees it)
+Latent-cached batches (training/latent_cache.py) replace jpg/hint with
+  jpg_moments / hint_moments [B,h,w,2*z2]  (VAE posterior mean|logvar;
+            the step samples z = mean + std*eps with the same rng stream,
+            skipping the 41.6%-of-step frozen encoder — bit-equal loss).
 With grad_accum > 1, leading axis is [accum, micro, ...].
 """
 
@@ -38,13 +42,21 @@ def _batch_conds(pipe: CtrLoraPipeline, params: Params, batch, rng):
     """Build the Conditioning list for a batch (latent- or image-hint)."""
     if pipe.control is None:
         return None, rng
-    hint = batch["hint"]
+    hint = batch.get("hint")
+    if hint is None and pipe.cfg.control.hint_mode != "latent":
+        raise ValueError(
+            "latent-cached batches (hint_moments) require hint_mode='latent'; "
+            "image-hint models consume raw pixels"
+        )
     task_idx = batch.get("task_idx")
     if task_idx is not None and task_idx.ndim > 0:
         task_idx = task_idx[0]  # batches are single-task
     if pipe.cfg.control.hint_mode == "latent":
         rng, h_rng = jax.random.split(rng)
-        hint_z = pipe.encode_first_stage(params, hint, rng=h_rng)
+        if hint is None:  # precomputed moments (training/latent_cache.py)
+            hint_z = pipe.first_stage_from_moments(batch["hint_moments"], rng=h_rng)
+        else:
+            hint_z = pipe.encode_first_stage(params, hint, rng=h_rng)
         hint_z = jax.lax.stop_gradient(hint_z)
         return [Conditioning(hint_z, lora_idx=task_idx)], rng
     return [Conditioning(hint, lora_idx=task_idx)], rng
@@ -58,9 +70,11 @@ def loss_for_batch(
     sd_locked: bool = True,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     rng, z_rng, t_rng = jax.random.split(rng, 3)
-    z = jax.lax.stop_gradient(
-        pipe.encode_first_stage(params, batch["jpg"], rng=z_rng)
-    )
+    if "jpg_moments" in batch:  # latent cache: same rng stream, no encode
+        z = pipe.first_stage_from_moments(batch["jpg_moments"], rng=z_rng)
+    else:
+        z = pipe.encode_first_stage(params, batch["jpg"], rng=z_rng)
+    z = jax.lax.stop_gradient(z)
     context = jax.lax.stop_gradient(
         pipe.encode_text_tokens(params, batch["token_ids"])
     )

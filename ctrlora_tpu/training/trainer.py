@@ -242,16 +242,30 @@ def make_image_log_hook(pipe: CtrLoraPipeline, workdir: str, ddim_steps: int = 2
             from ctrlora_tpu.training.ema import ema_params
 
             params = ema_params(params, state.ema)
-        B = min(2, batch["jpg"].shape[0])
+        cached = "jpg_moments" in batch  # latent-cached loader batches
+        B = min(2, batch["token_ids"].shape[0])
         ids = jnp.asarray(batch["token_ids"][:B])
         ctx = pipe.encode_text_tokens(params, ids)
         unc = pipe.encode_text_tokens(params, jnp.zeros_like(ids))
-        hint = jnp.asarray(batch["hint"][:B])
-        jpg = jnp.asarray(batch["jpg"][:B])
-        if pipe.cfg.control is not None and pipe.cfg.control.hint_mode == "latent":
-            hint_in = pipe.encode_first_stage(params, hint)
+        if cached:
+            # display pixels via the decoder: hint_in = scale * posterior
+            # mean is EXACTLY what encode_first_stage(hint, rng=None) gives
+            hint_z = pipe.first_stage_from_moments(
+                jnp.asarray(batch["hint_moments"][:B])
+            )
+            hint = pipe.decode_first_stage(params, hint_z) * 0.5 + 0.5
+            jpg = None
+            hint_in = hint_z if (
+                pipe.cfg.control is not None
+                and pipe.cfg.control.hint_mode == "latent"
+            ) else hint
         else:
-            hint_in = hint
+            hint = jnp.asarray(batch["hint"][:B])
+            jpg = jnp.asarray(batch["jpg"][:B])
+            if pipe.cfg.control is not None and pipe.cfg.control.hint_mode == "latent":
+                hint_in = pipe.encode_first_stage(params, hint)
+            else:
+                hint_in = hint
         task = batch.get("task_idx")
         conds = [Conditioning(hint_in, lora_idx=jnp.int32(int(task[0])) if task is not None else None)]
         f = 2 ** (len(pipe.cfg.vae.ch_mult) - 1)
@@ -261,7 +275,13 @@ def make_image_log_hook(pipe: CtrLoraPipeline, workdir: str, ddim_steps: int = 2
             (B, h, w, 4), DDIMConfig(steps=ddim_steps, guidance_scale=9.0),
         )
         img = pipe.decode_first_stage(params, z)
-        recon = pipe.decode_first_stage(params, pipe.encode_first_stage(params, jpg))
+        if cached:  # decode(posterior mean) IS the reconstruction
+            recon = pipe.decode_first_stage(
+                params,
+                pipe.first_stage_from_moments(jnp.asarray(batch["jpg_moments"][:B])),
+            )
+        else:
+            recon = pipe.decode_first_stage(params, pipe.encode_first_stage(params, jpg))
 
         def to_u8_row(x, signed=True):
             x = jnp.clip(x * 127.5 + 127.5, 0, 255) if signed else jnp.clip(x * 255, 0, 255)

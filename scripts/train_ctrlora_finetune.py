@@ -58,6 +58,12 @@ def main():
     p.add_argument("--use_ema", action="store_true", help="EMA of trainable params")
     p.add_argument("--shard_opt_state", action="store_true", help="ZeRO-style Adam-moment sharding")
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--cache_latents", action="store_true",
+                   help="encode the dataset's VAE posterior moments once and "
+                        "train from the cache (exact: the per-step posterior "
+                        "sample keeps its own rng; CustomDataset only — its "
+                        "pipeline has no pixel augmentation). Skips the "
+                        "frozen-encoder work, ~41%% of the finetune step.")
     args = p.parse_args()
 
     from ctrlora_tpu.configs import TrainConfig, ctrlora_finetune_config
@@ -89,16 +95,27 @@ def main():
         ds = MultiGen20M(
             args.multigen_json, args.multigen_meta, args.task, drop_rate=args.drop_rate
         )
+    params = load_ctrlora(
+        pipe, args.sd_ckpt, args.cn_ckpt, basecn_skip="lora", seed=args.seed
+    )
+
+    if args.cache_latents:
+        if not args.dataroot:
+            raise SystemExit("--cache_latents requires --dataroot "
+                             "(MultiGen's random crop defeats the cache)")
+        from ctrlora_tpu.training.latent_cache import (
+            LatentCachedDataset, precompute_moments,
+        )
+
+        jm, hm = precompute_moments(pipe, params, ds)
+        ds = LatentCachedDataset(ds, jm, hm)
+
     global_bs = args.bs * jax.process_count()
     sched = SingleTaskSchedule(size=len(ds), batch_size=global_bs, seed=args.seed)
     loader = Loader(
         [ds], sched, num_workers=args.num_workers,
         host_id=jax.process_index(), host_count=jax.process_count(),
         max_length=cfg.clip.max_length,
-    )
-
-    params = load_ctrlora(
-        pipe, args.sd_ckpt, args.cn_ckpt, basecn_skip="lora", seed=args.seed
     )
     tcfg = TrainConfig(
         learning_rate=args.lr, batch_size=args.bs, grad_accum=args.gradacc,
