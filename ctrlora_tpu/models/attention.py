@@ -98,6 +98,24 @@ class CrossAttention(nn.Module):
                     x.astype(self.dtype),
                     jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype),
                 )
+                if (kernel_flags.flags().attn_qkv_packed
+                        and kernel_flags.flags().attn_layout == "bshd"
+                        and tp.active() is None):
+                    # skip the split: the packed kernel consumes the fused
+                    # projection output directly (lane offsets 0/HD/2HD)
+                    from ctrlora_tpu.ops.flash_attention import (
+                        dot_product_attention_bshd_qkv,
+                    )
+
+                    b, sq = qkv.shape[0], qkv.shape[1]
+                    out = dot_product_attention_bshd_qkv(
+                        qkv, self.heads, self.dim_head,
+                        use_flash=self.use_flash,
+                    ).reshape(b, sq, inner)
+                    return Dense(
+                        self.query_dim, dtype=self.dtype, lora=self.lora,
+                        name="to_out",
+                    )(out, lora_idx)
                 q, k, v = jnp.split(qkv, 3, axis=-1)
             elif is_self:
                 xc = x.astype(self.dtype)

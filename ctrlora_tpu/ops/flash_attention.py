@@ -136,7 +136,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, sk,
 
 
 def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, heads,
-                       d, mxu_dtype, skip_max, clamp, pipe):
+                       d, mxu_dtype, skip_max, clamp, pipe,
+                       q_off=0, k_off=0, v_off=0):
     """hd-packed single-k-sweep forward: operands stay in the projections'
     natural [B, S, H*D] layout (block minor dim == array dim, which Mosaic
     always allows), and heads are separated INSIDE the kernel by static lane
@@ -176,10 +177,9 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, heads,
     bq = q_ref.shape[1]
 
     def qk(h):
-        sl = slice(h * d, (h + 1) * d)
-        q = q_ref[0][:, sl].astype(jnp.float32) * (scale * LOG2E)
-        q = q.astype(mxu_dtype)
-        k = k_ref[0][:, sl].astype(mxu_dtype)
+        q = q_ref[0][:, q_off + h * d:q_off + (h + 1) * d]
+        q = (q.astype(jnp.float32) * (scale * LOG2E)).astype(mxu_dtype)
+        k = k_ref[0][:, k_off + h * d:k_off + (h + 1) * d].astype(mxu_dtype)
         return jax.lax.dot_general(  # [bq, sk]
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -187,7 +187,7 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, heads,
 
     def epilogue(h, s):
         sl = slice(h * d, (h + 1) * d)
-        v = v_ref[0][:, sl].astype(mxu_dtype)
+        v = v_ref[0][:, v_off + h * d:v_off + (h + 1) * d].astype(mxu_dtype)
         v_aug = jnp.concatenate([v, jnp.ones((sk, 1), mxu_dtype)], axis=1)
         if skip_max:
             m = jnp.zeros((bq, 1), jnp.float32)
@@ -299,6 +299,103 @@ def _packed_sweep_vmem(block_q: int, sk: int, heads: int, d: int,
     est += (itemsize + itemsize) * block_q * hdpad  # q/out refs
     est += (4 + mxu_itemsize + 4) * block_q * dpad  # q fp32+cast, acc
     return est
+
+
+def _fwd_kernel_packed_qkv(qkv_q_ref, qkv_kv_ref, o_ref, lse_ref, *, scale,
+                           heads, d, mxu_dtype, skip_max, clamp, pipe):
+    """Packed forward reading the FUSED q|k|v projection output directly.
+
+    The fused self-attn projection emits [B, S, 3*H*D] (q | k | v on lanes,
+    models/attention.py); the default path then pays an XLA split fusion —
+    three 20 MB writes + a read per 64^2 site, 55 ms/batch profiled
+    2026-08-19 — solely to hand the kernel three separate operands. This
+    variant keeps the fused output: one q-windowed ref and ONE full-sk ref
+    serve all three operands via static lane offsets (0 / HD / 2HD), the
+    same in-kernel slicing the packed kernel already does per head. The kv
+    ref re-fetches the q rows it doesn't need (+1/3 bytes on the K/V
+    stream), ~9 ms/batch of HBM traffic against the 55 ms split it
+    deletes."""
+    hd = heads * d
+    _fwd_kernel_packed(qkv_q_ref, qkv_kv_ref, qkv_kv_ref, o_ref, lse_ref,
+                       scale=scale, heads=heads, d=d, mxu_dtype=mxu_dtype,
+                       skip_max=skip_max, clamp=clamp, pipe=pipe,
+                       q_off=0, k_off=hd, v_off=2 * hd)
+
+
+def _packed_qkv_vmem(block_q: int, sk: int, heads: int, d: int,
+                     itemsize: int, mxu_itemsize: int) -> int:
+    """Resident-VMEM estimate for the qkv-packed kernel: like
+    _packed_sweep_vmem but the K/V refs are ONE [sk, 3HD] block and the q
+    ref spans 3HD lanes."""
+    hd = heads * d
+    hd3pad = ((3 * hd + 127) // 128) * 128
+    hdpad = ((hd + 127) // 128) * 128
+    dpad = ((d + 127) // 128) * 128
+    est = 4 * block_q * sk  # logits (fp32, one head)
+    est += mxu_itemsize * block_q * sk  # p block
+    est += itemsize * sk * hd3pad  # packed qkv full-sk ref
+    est += 2 * mxu_itemsize * sk * dpad  # per-head k/v slice copies
+    est += mxu_itemsize * sk * dpad  # ones-augmented V copy
+    est += itemsize * block_q * hd3pad  # q-windowed ref
+    est += itemsize * block_q * hdpad  # out ref
+    est += (4 + mxu_itemsize + 4) * block_q * dpad  # q fp32+cast, acc
+    return est
+
+
+def _packed_qkv_ok(sq: int, sk: int, heads: int, d: int, dtype) -> bool:
+    if sq != sk:  # fused qkv exists only for self-attention
+        return False
+    mxu_isz = 2 if (dtype == jnp.bfloat16 and not flags().fp32_matmul) else 4
+    for bq in (256, 128):
+        if (bq <= sq and sq % bq == 0
+                and _packed_qkv_vmem(bq, sk, heads, d, dtype.itemsize, mxu_isz)
+                * _PACKED_MEASURED_OVER_EST <= _PACKED_SWEEP_LIMIT):
+            return True
+    return False
+
+
+def _flash_forward_qkv(qkv, heads, d, scale):
+    """qkv: [B, S, 3*H*D] fused projection output -> ([B,S,H*D] out, lse)."""
+    fl = flags()
+    b, s, hd3 = qkv.shape
+    hd = hd3 // 3
+    mxu_dtype = _mxu_dtype(qkv)
+    mxu_isz = jnp.dtype(mxu_dtype).itemsize
+    block_q = None
+    for bq_cand in (256, 128):
+        if (bq_cand <= s and s % bq_cand == 0
+                and _packed_qkv_vmem(bq_cand, s, heads, d,
+                                     qkv.dtype.itemsize, mxu_isz)
+                * _PACKED_MEASURED_OVER_EST <= _PACKED_SWEEP_LIMIT):
+            block_q = bq_cand
+            break
+    assert block_q is not None, "caller must check _packed_qkv_ok first"
+    clamp = fl.attn_clamp if fl.attn_clamp is not None else True
+    pipe = fl.attn_pipe if fl.attn_pipe is not None else _APIPE_DEFAULT
+    kern = functools.partial(_fwd_kernel_packed_qkv, scale=scale, heads=heads,
+                             d=d, mxu_dtype=mxu_dtype,
+                             skip_max=not fl.safemax, clamp=clamp, pipe=pipe)
+    out, lse = pl.pallas_call(
+        kern,
+        grid=(b, s // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd3), lambda i, n: (i, n, 0)),
+            pl.BlockSpec((1, s, hd3), lambda i, n: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda i, n: (i, n, 0)),
+            pl.BlockSpec((1, heads, block_q), lambda i, n: (i, 0, n)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, hd), qkv.dtype),
+            jax.ShapeDtypeStruct((b, heads, s), jnp.float32),
+        ],
+        compiler_params=(pltpu.CompilerParams(
+                             vmem_limit_bytes=_PACKED_VMEM_GRANT)
+                         if pltpu is not None and not _interpret() else None),
+        interpret=_interpret(),
+    )(qkv, qkv)
+    return out, lse
 
 
 def _pick_block(size: int, preferred: int = 512,
@@ -694,6 +791,65 @@ def _flash_bshd_bwd(scale, res, g):
 
 
 _flash_attention_bshd.defvjp(_flash_bshd_fwd, _flash_bshd_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _flash_attention_qkv(qkv, heads, d, scale):
+    return _flash_forward_qkv(qkv, heads, d, scale)[0]
+
+
+def _flash_qkv_fwd(qkv, heads, d, scale):
+    out, lse = _flash_forward_qkv(qkv, heads, d, scale)
+    return out, (qkv, out, lse)
+
+
+def _flash_qkv_bwd(heads, d, scale, res, g):
+    # split + transpose once per step and reuse the BHSD backward kernels;
+    # sampling (the hot path) never differentiates this
+    qkv, out, lse = res
+    b, s, _ = qkv.shape
+    tr = lambda t: t.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    dq, dk, dv = _flash_backward(
+        scale, (tr(q), tr(k), tr(v), tr(out), lse),
+        tr(g),
+    )
+    back = lambda t: t.transpose(0, 2, 1, 3).reshape(b, s, heads * d)
+    return (jnp.concatenate([back(dq), back(dk), back(dv)], axis=-1),)
+
+
+_flash_attention_qkv.defvjp(_flash_qkv_fwd, _flash_qkv_bwd)
+
+
+def dot_product_attention_bshd_qkv(
+    qkv: jnp.ndarray,
+    heads: int,
+    dim_head: int,
+    scale: Optional[float] = None,
+    use_flash: bool = True,
+) -> jnp.ndarray:
+    """Self-attention straight off the fused q|k|v projection output
+    [B, S, 3*H*D] — no split, no per-operand buffers (see
+    _fwd_kernel_packed_qkv). Returns [B, S, H, D]. Falls back to the split
+    + dot_product_attention_bshd chain for non-qualifying geometries."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(dim_head)
+    b, s, hd3 = qkv.shape
+    flash_ok = (
+        use_flash
+        and flags().use_flash
+        and _on_tpu()
+        and s >= 256
+        and _pick_block(s) is not None
+    )
+    if flash_ok and _packed_qkv_ok(s, s, heads, dim_head, qkv.dtype):
+        out = _flash_attention_qkv(qkv, heads, dim_head, scale)
+        return out.reshape(b, s, heads, dim_head)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    h4 = lambda t: t.reshape(b, s, heads, dim_head)
+    return dot_product_attention_bshd(
+        h4(q), h4(k), h4(v), scale=scale, use_flash=use_flash
+    )
 
 
 def _on_tpu() -> bool:

@@ -29,6 +29,11 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+try:  # pltpu resolves wherever Mosaic is built (needed for VMEM scratch)
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pltpu = None
+
 from ctrlora_tpu.ops.kernel_flags import flags
 
 
@@ -112,6 +117,67 @@ def _pick_rows(rows: int, c: int, f: int, isz: int) -> Optional[int]:
     return None
 
 
+def _geglu_kernel_blocked(x_ref, w1a_ref, w1g_ref, b1a_ref, b1g_ref, w2_ref,
+                          b2_ref, o_ref, acc_ref, *, nf):
+    """F-blocked variant for widths whose weights exceed VMEM (the 16^2/8^2
+    sites: C=1280, F=5120 — W1+W2 are 39 MB bf16, the resident kernel can't
+    hold them). The grid's second axis streams F in fb-wide slices: the
+    gate pair (a_j, g_j) needs only the matching W1 column block of each
+    half, and the down-projection accumulates partial [bs, C] products in
+    an fp32 scratch across j. Per-element math matches _geglu_kernel; only
+    the fp32 accumulation order of the second dot differs (reassociation,
+    not a formula change). XLA leaves ~0.47 MFU on these sites: the
+    hlo_stats add_add_fusion.7x family is 102 ms/batch HBM-bound on the
+    [8, 256, 5120] intermediate this kernel never materializes."""
+    j = pl.program_id(1)
+    mxu = w2_ref.dtype
+    x = x_ref[...].astype(mxu)
+    a = (jax.lax.dot_general(
+        x, w1a_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1a_ref[...].astype(jnp.float32)).astype(mxu)
+    g = jax.lax.dot_general(
+        x, w1g_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1g_ref[...].astype(jnp.float32)
+    gated = a * (0.5 * g * (1.0 + _erf(g * (2.0 ** -0.5)))).astype(mxu)
+    part = jax.lax.dot_general(
+        gated, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = part + b2_ref[...].astype(jnp.float32)
+
+    @pl.when(j > 0)
+    def _acc():
+        acc_ref[...] += part
+
+    @pl.when(j == nf - 1)
+    def _emit():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _vmem_est_blocked(bs: int, c: int, fb: int, isz: int) -> int:
+    est = isz * c * 2 * fb + isz * fb * c  # W1a+W1g blocks + W2 block
+    est += (isz + isz) * bs * c  # x block + out block
+    est += 4 * bs * c  # fp32 accumulator scratch
+    est += (4 + isz) * bs * fb * 2  # a/g fp32 dots + casts
+    est += isz * bs * fb  # gated block
+    return est
+
+
+def _pick_blocked(rows: int, c: int, f: int, isz: int):
+    for bs in (512, 256, 128):
+        if rows % bs:
+            continue
+        for fb in (512, 256):
+            if f % fb == 0 and _vmem_est_blocked(bs, c, fb, isz) <= _VMEM_LIMIT:
+                return bs, fb
+    return None
+
+
 def _reference(x, w1, b1, w2, b2):
     """jnp math identical to the FeedForward Dense path (fp32 dots when the
     inputs are fp32; bf16 inputs follow the module's compute dtype)."""
@@ -143,11 +209,15 @@ def geglu_ffn_ok(x: jnp.ndarray, w1: jnp.ndarray) -> bool:
     for s in x.shape[:-1]:
         rows *= s
     isz = jnp.dtype(_mxu_dtype(x)).itemsize
-    return (
-        x.shape[-1] == c
-        and f2 == 2 * f
-        and _pick_rows(rows, c, f, isz) is not None
-    )
+    if x.shape[-1] != c or f2 != 2 * f:
+        return False
+    if _pick_rows(rows, c, f, isz) is not None:
+        return True
+    # wide sites (C=1280, F=5120): the f-blocked kernel, behind its own
+    # flag until the on-chip A/B adopts it (needs pltpu for VMEM scratch)
+    return (flags().geglu_blocked is True
+            and pltpu is not None
+            and _pick_blocked(rows, c, f, isz) is not None)
 
 
 def geglu_shapes_ok(x, w1, b1, w2, b2) -> bool:
@@ -179,7 +249,10 @@ def _forward(x, w1, b1, w2, b2):
     mxu = _mxu_dtype(x)
     isz = jnp.dtype(mxu).itemsize
     bs = _pick_rows(rows, c, f, isz)
-    assert bs is not None, "geglu_ffn_ok must gate this call"
+    if bs is None:
+        bsfb = _pick_blocked(rows, c, f, isz)
+        assert bsfb is not None, "geglu_ffn_ok must gate this call"
+        return _forward_blocked(x, w1, b1, w2, b2, *bsfb)
     xf = x.reshape(rows, c)
     split = flags().geglu_split or (2 if bs >= 256 else 1)
     if bs % split:
@@ -198,6 +271,38 @@ def _forward(x, w1, b1, w2, b2):
         out_shape=jax.ShapeDtypeStruct((rows, c), x.dtype),
         interpret=_interpret(),
     )(xf, w1.astype(mxu), b1.astype(mxu), w2.astype(mxu), b2.astype(mxu))
+    return out.reshape(orig_shape)
+
+
+def _forward_blocked(x, w1, b1, w2, b2, bs, fb):
+    orig_shape = x.shape
+    c = x.shape[-1]
+    f = w1.shape[1] // 2
+    nf = f // fb
+    rows = 1
+    for s in orig_shape[:-1]:
+        rows *= s
+    mxu = _mxu_dtype(x)
+    xf = x.reshape(rows, c)
+    out = pl.pallas_call(
+        functools.partial(_geglu_kernel_blocked, nf=nf),
+        grid=(rows // bs, nf),
+        in_specs=[
+            pl.BlockSpec((bs, c), lambda i, j: (i, 0)),
+            pl.BlockSpec((c, fb), lambda i, j: (0, j)),          # W1[:, :f] slice j
+            pl.BlockSpec((c, fb), lambda i, j: (0, nf + j)),     # W1[:, f:] slice j
+            pl.BlockSpec((fb,), lambda i, j: (j,)),
+            pl.BlockSpec((fb,), lambda i, j: (nf + j,)),
+            pl.BlockSpec((fb, c), lambda i, j: (j, 0)),
+            pl.BlockSpec((c,), lambda i, j: (0,)),
+        ],
+        out_specs=pl.BlockSpec((bs, c), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bs, c), jnp.float32)]
+        if pltpu is not None else [],
+        interpret=_interpret(),
+    )(xf, w1.astype(mxu), w1.astype(mxu), b1.astype(mxu), b1.astype(mxu),
+      w2.astype(mxu), b2.astype(mxu))
     return out.reshape(orig_shape)
 
 

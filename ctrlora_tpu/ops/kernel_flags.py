@@ -88,12 +88,23 @@ class KernelFlags:
     # M x N-tiles x K-tiles and K<=128 always costs one K-tile, so packing
     # the d=40 contraction is a wash; this knob exists to measure it
     head_pack: Optional[int] = None  # None -> 1 (no packing)
+    # feed the fused q|k|v projection output [B,S,3HD] straight into the
+    # packed flash kernel (static lane offsets 0/HD/2HD) instead of paying
+    # the XLA split fusion (55 ms/batch at the seven 64^2 sites, profiled
+    # 2026-08-19). None -> OFF pending its on-chip A/B
+    attn_qkv_packed: Optional[bool] = None
+    # f-blocked GEGLU kernel for the wide FFN sites (16^2/8^2: C=1280,
+    # F=5120) whose weights exceed VMEM — streams F in column blocks with
+    # an fp32 accumulator. None -> OFF pending its on-chip A/B (the XLA
+    # path there runs ~0.47 MFU, add_add_fusion.7x, 102 ms/batch)
+    geglu_blocked: Optional[bool] = None
 
 
 _ENV = "CTRLORA_KERNELS"
 _BOOL_FIELDS = {"geglu": "geglu_ffn", "fused_gn": "fused_group_norm",
                 "split_res_add": "split_res_add", "fuse_qkv": "fuse_qkv",
-                "clamp": "attn_clamp", "apipe": "attn_pipe"}
+                "clamp": "attn_clamp", "apipe": "attn_pipe",
+                "qkvpack": "attn_qkv_packed", "gblocked": "geglu_blocked"}
 _INT_FIELDS = {"bq": "block_q", "bk": "block_k", "packed_bq": "packed_block_q",
                "gsplit": "geglu_split", "hpack": "head_pack"}
 _parse_cache: dict[str, KernelFlags] = {}

@@ -153,6 +153,11 @@ def main():
         "hpack2": dict(use_fused=True, unroll=1, flags=dict(head_pack=2)),
         "apipenoclamp": dict(use_fused=True, unroll=1,
                              flags=dict(attn_pipe=True, attn_clamp=False)),
+        # fused q|k|v projection output consumed directly by the packed
+        # kernel (no XLA split fusion — 55 ms/batch at the 64^2 sites,
+        # profile 2026-08-19)
+        "qkvpack": dict(use_fused=True, unroll=1,
+                        flags=dict(attn_qkv_packed=True)),
     }
     names = [v for v in args.variants.split(",") if v in specs]
 

@@ -244,3 +244,59 @@ def test_kernel_flags_env_parse(monkeypatch):
     assert kernel_flags.flags().attn_layout == "bshd"
     with pytest.raises(TypeError):
         kernel_flags.set_flags(not_a_flag=1)
+
+
+def test_forward_qkv_packed_matches_xla():
+    """The fused-projection entry (_flash_attention_qkv: one [B,S,3HD]
+    operand, lane offsets 0/HD/2HD) must match the XLA reference."""
+    from ctrlora_tpu.ops.flash_attention import _flash_attention_qkv
+
+    b, s, h, d = 2, 256, 3, 40
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = jax.random.normal(ks[0], (b, s, h * d))
+    k = jax.random.normal(ks[1], (b, s, h * d))
+    v = jax.random.normal(ks[2], (b, s, h * d))
+    qkv = jnp.concatenate([q, k, v], axis=-1)
+    out = _flash_attention_qkv(qkv, h, d, d**-0.5)
+    tr = lambda t: t.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+    ref = xla_attention(tr(q), tr(k), tr(v), d**-0.5)
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_backward_qkv_packed_matches_xla():
+    from ctrlora_tpu.ops.flash_attention import _flash_attention_qkv
+
+    b, s, h, d = 1, 256, 2, 32
+    ks = jax.random.split(jax.random.PRNGKey(12), 2)
+    qkv = jax.random.normal(ks[0], (b, s, 3 * h * d))
+    ct = jax.random.normal(ks[1], (b, s, h * d))
+    tr = lambda t: t.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+
+    def ref_fn(qkv):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        o = xla_attention(tr(q), tr(k), tr(v), d**-0.5)
+        return jnp.sum(o.transpose(0, 2, 1, 3).reshape(b, s, h * d) * ct)
+
+    gf = jax.grad(lambda t: jnp.sum(_flash_attention_qkv(t, h, d, d**-0.5) * ct))(qkv)
+    gr = jax.grad(ref_fn)(qkv)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               atol=5e-5, rtol=1e-3)
+
+
+def test_cross_attention_module_qkv_packed_matches_default():
+    """Module-level: CTRLORA_KERNELS=qkvpack must be output-identical to
+    the split default (same params; CPU falls back through the same split
+    so this pins the wiring + the fallback chain)."""
+    from ctrlora_tpu.models.attention import CrossAttention
+    from ctrlora_tpu.ops.kernel_flags import override
+
+    mod = CrossAttention(query_dim=64, heads=4, dim_head=16)
+    x = jax.random.normal(jax.random.PRNGKey(13), (2, 256, 64))
+    params = mod.init(jax.random.PRNGKey(14), x)["params"]
+    out = mod.apply({"params": params}, x)
+    with override(attn_qkv_packed=True):
+        packed = mod.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(out),
+                               atol=1e-5, rtol=1e-5)

@@ -97,3 +97,39 @@ def test_feedforward_module_uses_same_params():
         params["out"]["kernel"], params["out"]["bias"],
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_blocked_forward_matches_reference():
+    """F-blocked kernel (_forward_blocked): parity vs the jnp reference in
+    interpret mode, at a shape that exercises multiple f blocks and the
+    fp32 accumulator init/emit phases."""
+    from ctrlora_tpu.ops.geglu_ffn import _forward_blocked
+
+    rows, c, f = 256, 128, 512
+    ks = jax.random.split(jax.random.PRNGKey(21), 5)
+    x = jax.random.normal(ks[0], (2, rows // 2, c)) * 0.5
+    w1 = jax.random.normal(ks[1], (c, 2 * f)) * 0.05
+    b1 = jax.random.normal(ks[2], (2 * f,)) * 0.05
+    w2 = jax.random.normal(ks[3], (f, c)) * 0.05
+    b2 = jax.random.normal(ks[4], (c,)) * 0.05
+    out = _forward_blocked(x, w1, b1, w2, b2, 128, 256)  # bs=128, fb=256 -> nf=2
+    ref = _reference(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_blocked_gating_wide_site():
+    """The real 16^2 geometry (C=1280, F=5120, rows=2048): resident kernel
+    rejects (weights 39 MB bf16 > VMEM), blocked admits — but only behind
+    the geglu_blocked flag."""
+    from ctrlora_tpu.ops.geglu_ffn import _pick_blocked
+    from ctrlora_tpu.ops.kernel_flags import override
+
+    assert _pick_rows(2048, 1280, 5120, 2) is None
+    assert _pick_blocked(2048, 1280, 5120, 2) is not None
+    x = jnp.zeros((8, 256, 1280), jnp.bfloat16)
+    w1 = jnp.zeros((1280, 10240), jnp.bfloat16)
+    with override(geglu_ffn=True):
+        assert not geglu_ffn_ok(x, w1)
+    with override(geglu_ffn=True, geglu_blocked=True):
+        assert geglu_ffn_ok(x, w1)
