@@ -158,6 +158,12 @@ def main():
         # profile 2026-08-19)
         "qkvpack": dict(use_fused=True, unroll=1,
                         flags=dict(attn_qkv_packed=True)),
+        # f-blocked GEGLU at the wide 16^2/8^2 FFN sites (weights > VMEM)
+        "gblocked": dict(use_fused=True, unroll=1,
+                         flags=dict(geglu_blocked=True)),
+        # candidate adoption state: both round-5 tail kernels on
+        "qkvgb": dict(use_fused=True, unroll=1,
+                      flags=dict(attn_qkv_packed=True, geglu_blocked=True)),
     }
     names = [v for v in args.variants.split(",") if v in specs]
 

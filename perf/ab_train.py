@@ -95,6 +95,11 @@ def main():
         "gsplit1": dict(geglu_split=1),
         "split0": dict(split_res_add=False),
         "nofuseqkv": dict(fuse_qkv=False),
+        # round-5 tail kernels (sampling-side variants; the UNet's frozen
+        # self-attn is differentiated through, so qkvpack exercises the
+        # _flash_attention_qkv custom_vjp backward here)
+        "qkvpack": dict(attn_qkv_packed=True),
+        "gblocked": dict(geglu_blocked=True),
     }
     names = [v for v in args.variants.split(",") if v in specs]
 

@@ -66,6 +66,11 @@ def main():
     p.add_argument("--dataroot", default="/tmp/ctrlora_ft1k_data")
     p.add_argument("--workdir", default="/tmp/ctrlora_ft1k_run")
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--cache_latents", action="store_true",
+                   help="precompute VAE posterior moments once (the real "
+                        "CLI's --cache_latents); also shrinks the per-step "
+                        "host->device transfer 25x (12.6 MB pixels -> 0.5 MB "
+                        "moments), which dominates on the tunneled dev host")
     args = p.parse_args()
 
     t_wall0 = time.perf_counter()
@@ -107,6 +112,21 @@ def main():
     t_init = time.perf_counter() - t0
     print(f"on-device init: {t_init:.0f}s", flush=True)
 
+    t_cache = 0.0
+    if args.cache_latents:
+        from ctrlora_tpu.training.latent_cache import (
+            LatentCachedDataset, precompute_moments,
+        )
+
+        t0 = time.perf_counter()
+        jm, hm = precompute_moments(pipe, params, ds)
+        ds = LatentCachedDataset(ds, jm, hm)
+        sched = SingleTaskSchedule(size=len(ds), batch_size=args.bs, seed=42)
+        loader = Loader([ds], sched, num_workers=args.num_workers,
+                        max_length=cfg.clip.max_length)
+        t_cache = time.perf_counter() - t0
+        print(f"latent cache built in {t_cache:.0f}s", flush=True)
+
     trainer = Trainer(pipe, tcfg, args.workdir, params=params)
 
     it = loader.iterate(0)
@@ -128,7 +148,9 @@ def main():
     total = time.perf_counter() - t_wall0
     out = {
         "workload": f"{args.n_images} imgs x {args.epochs} epochs, bs {args.bs}, "
-                    f"rank-128 LoRA+norms, {args.size}x{args.size}",
+                    f"rank-128 LoRA+norms, {args.size}x{args.size}"
+                    + (" [latent cache]" if args.cache_latents else ""),
+        "latent_cache_s": round(t_cache, 1),
         "steps": int(trainer.state.step),
         "steady_steps_per_sec": round(n_steady / t_steps, 3),
         "steady_train_s": round(t_steps, 1),
@@ -141,8 +163,9 @@ def main():
         "speedup_vs_claim_steady": round(3600 / (t_steps + t_ckpt), 1),
     }
     print(json.dumps(out, indent=1))
+    name = "ft1k_result_cached.json" if args.cache_latents else "ft1k_result.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "ft1k_result.json"), "w") as f:
+                           name), "w") as f:
         json.dump(out, f, indent=1)
 
 

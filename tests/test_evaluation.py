@@ -116,6 +116,7 @@ def test_lpips_lpips_package_key_naming(rng):
     np.testing.assert_allclose(got1, got2, rtol=0, atol=0)
 
 
+@pytest.mark.slow  # mid-weight parity: fast-lane budget (VERDICT r4 #7)
 def test_lpips_identical_images_zero(rng):
     params = init_lpips_params(__import__("jax").random.PRNGKey(0))
     a = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)

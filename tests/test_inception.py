@@ -3,6 +3,7 @@
 pools in A/C/E1 blocks, max branch-pool in Mixed_7c, BN eps 1e-3)."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
@@ -170,6 +171,7 @@ class TorchFIDInception(nn.Module):
         return feats, self.fc(feats)
 
 
+@pytest.mark.slow  # mid-weight parity: fast-lane budget (VERDICT r4 #7)
 def test_inception_fid_parity(rng):
     torch.manual_seed(0)
     model = TorchFIDInception()

@@ -42,7 +42,8 @@ def test_cached_loss_bit_equal(tiny):
     the same rng (same split order inside loss_for_batch)."""
     pipe, params = tiny
     rng = jax.random.PRNGKey(7)
-    B, S = 2, 32
+    B, S = 2, 16  # smallest multiple of the tiny VAE's 4x downsampling
+    # that leaves a nonempty latent attention site (fast-lane budget)
     jpg = jax.random.uniform(jax.random.PRNGKey(1), (B, S, S, 3), jnp.float32, -1, 1)
     hint = jax.random.uniform(jax.random.PRNGKey(2), (B, S, S, 3), jnp.float32, 0, 1)
     ids = jnp.ones((B, pipe.cfg.clip.max_length), jnp.int32)

@@ -38,6 +38,7 @@ def test_lineart_generator_parity():
     )
 
 
+@pytest.mark.slow  # mid-weight parity: fast-lane budget (VERDICT r4 #7)
 def test_anime_unet_parity():
     install_shims()
     import functools

@@ -24,6 +24,7 @@ MY_CFG = UNetConfig(
 )
 
 
+@pytest.mark.slow  # mid-weight parity: fast-lane budget (VERDICT r4 #7)
 def test_lite_parity():
     install_shims()
     import torch

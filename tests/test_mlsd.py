@@ -13,6 +13,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.mark.slow  # mid-weight parity: fast-lane budget (VERDICT r4 #7)
 def test_mlsd_parity():
     install_shims()
     import torch

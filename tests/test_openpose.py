@@ -105,6 +105,7 @@ def test_body_decode_synthetic_two_keypoints():
     assert len(conns[0]) == 1  # exactly one neck->shoulder link
 
 
+@pytest.mark.slow  # mid-weight parity: fast-lane budget (VERDICT r4 #7)
 def test_detector_contract_random_weights(rng):
     from ctrlora_tpu.annotators import registry
 
