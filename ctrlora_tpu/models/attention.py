@@ -74,7 +74,12 @@ class CrossAttention(nn.Module):
     ip_tokens: int = 0
 
     @nn.compact
-    def __call__(self, x, context=None, lora_idx=None):
+    def __call__(self, x, context=None, lora_idx=None, kv=None):
+        """kv: optional precomputed [B, Sk, 2*inner] cross-attention K|V
+        projection of the (sampler-loop-invariant) text context — the exact
+        output of the fused `ctx @ [wk|wv]` dot below, hoisted out of the
+        sampling scan by CtrLoraPipeline.xattn_kv_tables. Only valid on the
+        fused/no-LoRA cross-attention path without an IP branch."""
         inner = self.heads * self.dim_head
         is_self = context is None
         ctx = x if is_self else context
@@ -83,6 +88,9 @@ class CrossAttention(nn.Module):
             # context = [text tokens | image-prompt tokens]
             ip_ctx = ctx[:, -self.ip_tokens:, :]
             ctx = ctx[:, : ctx.shape[1] - self.ip_tokens, :]
+        assert kv is None or (not is_self and ip_ctx is None), (
+            "hoisted kv applies only to plain cross-attention"
+        )
 
         if self.lora is None or self.lora.n_loras == 0:
             # fused projections: the concatenated weight is loop-invariant
@@ -124,12 +132,14 @@ class CrossAttention(nn.Module):
                 v = jnp.dot(xc, wv.astype(self.dtype))
             else:
                 q = jnp.dot(x.astype(self.dtype), wq.astype(self.dtype))
-                kv = jnp.dot(
-                    ctx.astype(self.dtype),
-                    jnp.concatenate([wk, wv], axis=1).astype(self.dtype),
-                )
+                if kv is None:
+                    kv = jnp.dot(
+                        ctx.astype(self.dtype),
+                        jnp.concatenate([wk, wv], axis=1).astype(self.dtype),
+                    )
                 k, v = jnp.split(kv, 2, axis=-1)
         else:
+            assert kv is None, "hoisted kv requires the fused/no-LoRA path"
             dense = lambda name: Dense(
                 inner, use_bias=False, dtype=self.dtype, lora=self.lora, name=name
             )
@@ -244,7 +254,7 @@ class BasicTransformerBlock(nn.Module):
     ip_tokens: int = 0
 
     @nn.compact
-    def __call__(self, x, context, lora_idx=None):
+    def __call__(self, x, context, lora_idx=None, kv=None):
         banks = (
             self.lora.n_loras
             if (self.lora is not None and self.lora.switchable_banks)
@@ -260,7 +270,7 @@ class BasicTransformerBlock(nn.Module):
             query_dim=self.dim, heads=self.heads, dim_head=self.dim_head,
             context_dim=self.context_dim, dtype=self.dtype, lora=self.lora,
             use_flash=self.use_flash, ip_tokens=self.ip_tokens, name="attn2",
-        )(h, context, lora_idx)
+        )(h, context, lora_idx, kv)
         h = LayerNorm32(n_banks=banks, name="norm3")(x, lora_idx)
         x = x + FeedForward(self.dim, dtype=self.dtype, lora=self.lora, name="ff")(
             h, lora_idx
@@ -282,7 +292,9 @@ class SpatialTransformer(nn.Module):
     ip_tokens: int = 0
 
     @nn.compact
-    def __call__(self, x, context, lora_idx=None):
+    def __call__(self, x, context, lora_idx=None, kv_rows=None):
+        """kv_rows: optional per-depth tuple of hoisted cross-attn K|V
+        projections (see CrossAttention.kv)."""
         b, h, w, c = x.shape
         inner = self.heads * self.dim_head
         banks = (
@@ -300,7 +312,7 @@ class SpatialTransformer(nn.Module):
                 context_dim=self.context_dim, dtype=self.dtype, lora=self.lora,
                 use_flash=self.use_flash, ip_tokens=self.ip_tokens,
                 name=f"block_{i}",
-            )(x, context, lora_idx)
+            )(x, context, lora_idx, None if kv_rows is None else kv_rows[i])
         x = x.reshape(b, h, w, inner)
         x = Conv(
             c, kernel_size=(1, 1), dtype=self.dtype,

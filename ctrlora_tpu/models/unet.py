@@ -120,6 +120,7 @@ class UNet(nn.Module):
         only_mid_control: bool = False,
         control_mode: str = "decoder",
         emb_rows: Optional[dict] = None,
+        kv_rows: Optional[dict] = None,
     ) -> jnp.ndarray:
         """control_mode='decoder': residuals add onto skip connections and
         middle (standard ControlNet, cldm/cldm.py:22-45). 'encoder': residuals
@@ -127,7 +128,10 @@ class UNet(nn.Module):
 
         emb_rows: {res_block_name: [C]} precomputed emb_proj outputs for a
         batch-uniform timestep (CtrLoraPipeline.emb_proj_tables). Skips the
-        in-graph TimestepEmbed + per-block projections entirely."""
+        in-graph TimestepEmbed + per-block projections entirely.
+        kv_rows: {attn_site_name: per-depth kv tuple} hoisted cross-attn K|V
+        projections of the loop-invariant context
+        (CtrLoraPipeline.xattn_kv_tables)."""
         cfg = self.cfg
         dt = cfg.compute_dtype
         if emb_rows is None:
@@ -135,6 +139,7 @@ class UNet(nn.Module):
         else:
             emb = None
         row = lambda name: None if emb_rows is None else emb_rows[name]
+        kvr = lambda name: None if kv_rows is None else kv_rows.get(name)
         context = context.astype(dt)
         enc_side = control is not None and control_mode == "encoder"
 
@@ -146,7 +151,8 @@ class UNet(nn.Module):
             elif step.kind == "res":
                 h = _res(cfg, step.out_ch, None, f"in_{i}_res")(h, emb, None, row(f"in_{i}_res"))
                 if step.attn:
-                    h = _attn(cfg, step.out_ch, None, f"in_{i}_attn")(h, context, None)
+                    h = _attn(cfg, step.out_ch, None, f"in_{i}_attn")(
+                        h, context, None, kvr(f"in_{i}_attn"))
             else:
                 h = Downsample(step.out_ch, dtype=dt, name=f"in_{i}_down")(h)
             if enc_side:
@@ -155,7 +161,7 @@ class UNet(nn.Module):
 
         ch = hs[-1].shape[-1]
         h = _res(cfg, ch, None, "mid_res0")(h, emb, None, row("mid_res0"))
-        h = _attn(cfg, ch, None, "mid_attn")(h, context, None)
+        h = _attn(cfg, ch, None, "mid_attn")(h, context, None, kvr("mid_attn"))
         h = _res(cfg, ch, None, "mid_res1")(h, emb, None, row("mid_res1"))
 
         n_enc = len(hs)
@@ -172,7 +178,8 @@ class UNet(nn.Module):
             h = jnp.concatenate([h, skip], axis=-1)
             h = _res(cfg, step.out_ch, None, f"out_{i}_res")(h, emb, None, row(f"out_{i}_res"))
             if step.attn:
-                h = _attn(cfg, step.out_ch, None, f"out_{i}_attn")(h, context, None)
+                h = _attn(cfg, step.out_ch, None, f"out_{i}_attn")(
+                    h, context, None, kvr(f"out_{i}_attn"))
             if step.upsample:
                 h = Upsample(step.out_ch, dtype=dt, name=f"out_{i}_up")(h)
 
@@ -225,6 +232,7 @@ class ControlNet(nn.Module):
         lora_idx: Optional[jnp.ndarray] = None,
         lora_scale: float = 1.0,
         emb_rows: Optional[dict] = None,
+        kv_rows: Optional[dict] = None,
     ) -> Tuple[jnp.ndarray, ...]:
         cfg = self.cfg
         ucfg = cfg.unet
@@ -239,6 +247,7 @@ class ControlNet(nn.Module):
         else:
             emb = None
         row = lambda name: None if emb_rows is None else emb_rows[name]
+        kvr = lambda name: None if kv_rows is None else kv_rows.get(name)
         context = context.astype(dt)
 
         guided = None
@@ -256,7 +265,8 @@ class ControlNet(nn.Module):
             elif step.kind == "res":
                 h = _res(ucfg, step.out_ch, lora, f"in_{i}_res")(h, emb, lora_idx, row(f"in_{i}_res"))
                 if step.attn:
-                    h = _attn(ucfg, step.out_ch, lora, f"in_{i}_attn")(h, context, lora_idx)
+                    h = _attn(ucfg, step.out_ch, lora, f"in_{i}_attn")(
+                        h, context, lora_idx, kvr(f"in_{i}_attn"))
             else:
                 h = Downsample(step.out_ch, dtype=dt, name=f"in_{i}_down")(h)
             outs.append(
@@ -265,7 +275,7 @@ class ControlNet(nn.Module):
 
         ch = h.shape[-1]
         h = _res(ucfg, ch, lora, "mid_res0")(h, emb, lora_idx, row("mid_res0"))
-        h = _attn(ucfg, ch, lora, "mid_attn")(h, context, lora_idx)
+        h = _attn(ucfg, ch, lora, "mid_attn")(h, context, lora_idx, kvr("mid_attn"))
         h = _res(ucfg, ch, lora, "mid_res1")(h, emb, lora_idx, row("mid_res1"))
         outs.append(
             ZeroConv(ch, n_banks=banks, dtype=dt, name="zero_mid")(h, lora_idx)

@@ -291,18 +291,23 @@ def _forward_blocked(x, w1, b1, w2, b2, bs, fb):
             pl.BlockSpec((bs, c), lambda i, j: (i, 0)),
             pl.BlockSpec((c, fb), lambda i, j: (0, j)),          # W1[:, :f] slice j
             pl.BlockSpec((c, fb), lambda i, j: (0, nf + j)),     # W1[:, f:] slice j
-            pl.BlockSpec((fb,), lambda i, j: (j,)),
-            pl.BlockSpec((fb,), lambda i, j: (nf + j,)),
+            # biases ship as [1, N] 2-D: Mosaic requires T(512)(128) tiling
+            # for big 1-D bf16 operands but XLA assigns b1 [10240]
+            # T(1024)(128) in the full graph — 2-D rows sidestep the layout
+            # verifier mismatch (on-chip failure, 2026-08-19)
+            pl.BlockSpec((1, fb), lambda i, j: (0, j)),
+            pl.BlockSpec((1, fb), lambda i, j: (0, nf + j)),
             pl.BlockSpec((fb, c), lambda i, j: (j, 0)),
-            pl.BlockSpec((c,), lambda i, j: (0,)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((bs, c), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((rows, c), x.dtype),
         scratch_shapes=[pltpu.VMEM((bs, c), jnp.float32)]
         if pltpu is not None else [],
         interpret=_interpret(),
-    )(xf, w1.astype(mxu), w1.astype(mxu), b1.astype(mxu), b1.astype(mxu),
-      w2.astype(mxu), b2.astype(mxu))
+    )(xf, w1.astype(mxu), w1.astype(mxu), b1.astype(mxu).reshape(1, -1),
+      b1.astype(mxu).reshape(1, -1), w2.astype(mxu),
+      b2.astype(mxu).reshape(1, -1))
     return out.reshape(orig_shape)
 
 

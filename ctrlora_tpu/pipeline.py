@@ -282,6 +282,66 @@ class CtrLoraPipeline:
             out["control"] = tuple(ctables)
         return out
 
+    def xattn_kv_tables(
+        self,
+        params: Params,
+        context: jnp.ndarray,  # [B, Sk, D], already CFG-stacked if applicable
+        conds: Optional[Sequence[Conditioning]] = None,
+    ) -> Optional[dict]:
+        """Precompute every cross-attention site's fused K|V projection of
+        the text context for a sampler scan.
+
+        The context is loop-invariant across the S denoising steps, so the
+        `ctx @ [wk|wv]` dot at each of the ~23 transformer sites (UNet 16 +
+        ControlNet 7) reruns identical work every step inside the scan — XLA
+        cannot hoist it because the surrounding while-loop carries x. This
+        computes the exact same fused dot once per site up front; the scan
+        closes over the results as loop constants (CrossAttention consumes
+        them via `kv` and skips its in-loop projection).
+
+        Returns {'unet': {site: (kv_block0, ...)}, 'control': (per-cond
+        dict or None, ...)}, or None when the variant has no hoistable sites
+        (lite/xs) or the UNet context carries IP-adapter tokens (the unet
+        branch then sees a different, concatenated context). A branch whose
+        attn k/v carry runtime-LoRA params (nofuse path) gets None — its
+        projections stay in-loop.
+        """
+        if self.xs_unet is not None or self.control_mode == "encoder":
+            return None
+        if self.cfg.unet.ip_tokens:
+            return None
+
+        def branch(tree, dtype):
+            ctx = context.astype(dtype)
+            out = {}
+            for name, sub in tree.items():
+                if not (name.endswith("_attn") and hasattr(sub, "keys")):
+                    continue
+                rows = []
+                i = 0
+                while f"block_{i}" in sub:
+                    a2 = sub[f"block_{i}"]["attn2"]
+                    if "lora_down" in a2["to_k"]:
+                        return None
+                    wkv = jnp.concatenate(
+                        [a2["to_k"]["kernel"], a2["to_v"]["kernel"]], axis=1
+                    )
+                    rows.append(jnp.dot(ctx, wkv.astype(dtype)))
+                    i += 1
+                out[name] = tuple(rows)
+            return out
+
+        unet_kv = branch(params.unet["params"], self.cfg.unet.compute_dtype)
+        ctables = []
+        if conds:
+            cdt = self.cfg.control.unet.compute_dtype
+            for cond in conds:
+                cparams = cond.control_params
+                if cparams is None:
+                    cparams = params.control
+                ctables.append(branch(cparams["params"], cdt))
+        return {"unet": unet_kv, "control": tuple(ctables)}
+
     def apply_control(
         self,
         params: Params,
@@ -291,6 +351,7 @@ class CtrLoraPipeline:
         conds: Sequence[Conditioning],
         control_scales: Optional[jnp.ndarray] = None,
         emb_rows: Optional[Sequence[dict]] = None,  # per cond, emb_proj_tables rows
+        kv_rows: Optional[Sequence[dict]] = None,  # per cond, xattn_kv_tables
     ) -> Tuple[jnp.ndarray, ...]:
         """Run the control branch for each condition and blend residuals
         (reference: cldm_ctrlora_inference.py:166-176)."""
@@ -301,6 +362,7 @@ class CtrLoraPipeline:
         total = None
         for j, cond in enumerate(conds):
             rows = emb_rows[j] if emb_rows is not None else None
+            kvr = kv_rows[j] if kv_rows is not None else None
             cparams = cond.control_params
             control_module = self.control
             if cparams is not None and self.fused_control is not None:
@@ -318,11 +380,12 @@ class CtrLoraPipeline:
                 taps = control_module.apply(
                     cparams, x_noisy, t, context,
                     hint=cond.hint, lora_idx=cond.lora_idx, emb_rows=rows,
+                    kv_rows=kvr,
                 )
             else:
                 taps = control_module.apply(
                     cparams, cond.hint, t, context, lora_idx=cond.lora_idx,
-                    emb_rows=rows,
+                    emb_rows=rows, kv_rows=kvr,
                 )
             taps = [c * control_scales[i] * cond.weight for i, c in enumerate(taps)]
             if self.cfg.diffusion.global_average_pooling:
@@ -341,6 +404,7 @@ class CtrLoraPipeline:
         ip_context: Optional[jnp.ndarray] = None,
         control_batch_mask: Optional[jnp.ndarray] = None,
         emb_rows: Optional[dict] = None,
+        kv_rows: Optional[dict] = None,
     ) -> jnp.ndarray:
         """Predict model output (eps by default) for noisy latents.
 
@@ -352,6 +416,8 @@ class CtrLoraPipeline:
         app/gradio_ctrlora.py:308 un_cond c_concat=None).
         emb_rows: one step's rows from emb_proj_tables (timestep must be
         batch-uniform and equal the t this table row was built for).
+        kv_rows: xattn_kv_tables output — hoisted cross-attn K|V projections
+        of this exact `context` (and per-cond control branches).
         """
         if self.xs_unet is not None:
             # ControlNet-XS: one fused two-stream forward
@@ -365,6 +431,7 @@ class CtrLoraPipeline:
             control = self.apply_control(
                 params, x_noisy, t, context, conds, control_scales,
                 emb_rows=emb_rows["control"] if emb_rows is not None else None,
+                kv_rows=kv_rows["control"] if kv_rows is not None else None,
             )
             if control_batch_mask is not None:
                 m = control_batch_mask.reshape(-1, 1, 1, 1)
@@ -379,4 +446,5 @@ class CtrLoraPipeline:
             control=control, only_mid_control=self.cfg.diffusion.only_mid_control,
             control_mode=self.control_mode,
             emb_rows=emb_rows["unet"] if emb_rows is not None else None,
+            kv_rows=kv_rows["unet"] if kv_rows is not None else None,
         )

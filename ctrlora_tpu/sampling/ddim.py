@@ -48,6 +48,12 @@ class DDIMConfig:
     # step. XLA cannot hoist them itself (t is loop-dynamic) and in-loop they
     # cost ~23 ms/step on TPU (perf/step_glue.py). No effect on results.
     hoist_time_embed: bool = True
+    # precompute every cross-attn site's K|V projection of the (loop-
+    # invariant) text context before the scan (pipe.xattn_kv_tables) — the
+    # in-loop dots rerun ~23 sites x S steps of identical work. No effect on
+    # results (same fused dot, same operands). Applies to the fused/no-LoRA
+    # path; branches with runtime LoRA or IP tokens keep in-loop projections.
+    hoist_xattn_kv: bool = False
 
     def __post_init__(self):
         if self.scan_unroll < 1:
@@ -147,6 +153,14 @@ def ddim_sample(
     else:
         packed_xs, _rows_of = None, lambda block: None
 
+    # cross-attn K|V of the loop-invariant context: computed once here, the
+    # scan closes over the tables as loop constants
+    kv_tables = (
+        pipe.xattn_kv_tables(params, full_context, full_conds)
+        if cfg.hoist_xattn_kv and full_ip is None
+        else None
+    )
+
     def model_out(x, t_scalar, rows):
         tvec = jnp.full((x.shape[0],), t_scalar, jnp.int32)
         if use_cfg:
@@ -159,12 +173,12 @@ def ddim_sample(
             out = pipe.apply_model(
                 params, x2, jnp.concatenate([tvec, tvec]), full_context,
                 full_conds, control_scales, ip_context=full_ip,
-                control_batch_mask=cmask, emb_rows=rows,
+                control_batch_mask=cmask, emb_rows=rows, kv_rows=kv_tables,
             )
             return out[:B], out[B:]
         out = pipe.apply_model(
             params, x, tvec, full_context, full_conds, control_scales,
-            ip_context=full_ip, emb_rows=rows,
+            ip_context=full_ip, emb_rows=rows, kv_rows=kv_tables,
         )
         return out, None
 

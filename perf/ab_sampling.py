@@ -88,9 +88,10 @@ def main():
     rng = jax.random.PRNGKey(1)
 
     def make_sample(use_fused: bool, unroll: int, n_steps=None, guidance=7.5,
-                    control=True, hoist=True):
+                    control=True, hoist=True, kv_hoist=False):
         ddim = DDIMConfig(steps=n_steps or steps, guidance_scale=guidance,
-                          scan_unroll=unroll, hoist_time_embed=hoist)
+                          scan_unroll=unroll, hoist_time_embed=hoist,
+                          hoist_xattn_kv=kv_hoist)
 
         def sample(params, fused, hint, ids, rng):
             ctx = pipe.encode_text_tokens(params, ids)
@@ -164,6 +165,9 @@ def main():
         # candidate adoption state: both round-5 tail kernels on
         "qkvgb": dict(use_fused=True, unroll=1,
                       flags=dict(attn_qkv_packed=True, geglu_blocked=True)),
+        # hoist cross-attn K|V of the loop-invariant context out of the scan
+        # (~23 sites x 50 steps of identical [616,768]@[768,2C] dots)
+        "kvh": dict(use_fused=True, unroll=1, flags=None, kv_hoist=True),
     }
     names = [v for v in args.variants.split(",") if v in specs]
 
@@ -180,7 +184,7 @@ def main():
             fn = make_sample(
                 s["use_fused"], s["unroll"], s.get("n_steps"),
                 s.get("guidance", 7.5), s.get("control", True),
-                s.get("hoist", True),
+                s.get("hoist", True), s.get("kv_hoist", False),
             )
             c = jax.jit(fn).lower(params, fused, hint, ids, rng).compile()
             print(f"[{name}] compiled in {time.perf_counter()-t0:.0f}s", flush=True)
