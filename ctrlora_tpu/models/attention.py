@@ -106,7 +106,7 @@ class CrossAttention(nn.Module):
                     x.astype(self.dtype),
                     jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype),
                 )
-                if (kernel_flags.flags().attn_qkv_packed
+                if (kernel_flags.flags().attn_qkv_packed is not False
                         and kernel_flags.flags().attn_layout == "bshd"
                         and tp.active() is None):
                     # skip the split: the packed kernel consumes the fused

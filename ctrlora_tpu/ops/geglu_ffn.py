@@ -213,9 +213,11 @@ def geglu_ffn_ok(x: jnp.ndarray, w1: jnp.ndarray) -> bool:
         return False
     if _pick_rows(rows, c, f, isz) is not None:
         return True
-    # wide sites (C=1280, F=5120): the f-blocked kernel, behind its own
-    # flag until the on-chip A/B adopts it (needs pltpu for VMEM scratch)
-    return (flags().geglu_blocked is True
+    # wide sites (C=1280, F=5120): the f-blocked kernel. Default ON since
+    # its on-chip A/B win (ledger 2026-08-19: 4.036 vs 4.090 s/batch,
+    # bit-identical checksums); CTRLORA_KERNELS=gblocked=0 restores the
+    # XLA fallback (needs pltpu for VMEM scratch)
+    return (flags().geglu_blocked is not False
             and pltpu is not None
             and _pick_blocked(rows, c, f, isz) is not None)
 

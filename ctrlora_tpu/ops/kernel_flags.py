@@ -33,6 +33,12 @@ runtime configuration surface is:
       fuse_qkv=0|1   single-dot q/k/v projection (default on); =0 issues
                      separate dots so each flash operand is written directly
                      instead of sliced out of the fused result
+      qkvpack=0|1    packed flash kernel consumes the fused q|k|v projection
+                     output directly, skipping the XLA split (default on;
+                     ledger 2026-08-19: 4.076 vs 4.090 s/batch)
+      gblocked=0|1   f-blocked GEGLU kernel at the wide 16^2/8^2 FFN sites
+                     whose weights exceed VMEM (default on; ledger
+                     2026-08-19: 4.036 vs 4.090 s/batch)
 
   * :func:`override` / :func:`set_flags` — programmatic overrides for tests
     and the perf/ A/B harnesses (same fields, no subprocess needed).
@@ -91,12 +97,14 @@ class KernelFlags:
     # feed the fused q|k|v projection output [B,S,3HD] straight into the
     # packed flash kernel (static lane offsets 0/HD/2HD) instead of paying
     # the XLA split fusion (55 ms/batch at the seven 64^2 sites, profiled
-    # 2026-08-19). None -> OFF pending its on-chip A/B
+    # 2026-08-19). None -> ON (ledger 2026-08-19: 4.076 vs 4.090 s/batch,
+    # bit-identical checksums); qkvpack=0 restores the split path
     attn_qkv_packed: Optional[bool] = None
     # f-blocked GEGLU kernel for the wide FFN sites (16^2/8^2: C=1280,
     # F=5120) whose weights exceed VMEM — streams F in column blocks with
-    # an fp32 accumulator. None -> OFF pending its on-chip A/B (the XLA
-    # path there runs ~0.47 MFU, add_add_fusion.7x, 102 ms/batch)
+    # an fp32 accumulator. None -> ON (ledger 2026-08-19: 4.036 vs 4.090
+    # s/batch — the XLA path there ran ~0.47 MFU, add_add_fusion.7x,
+    # 102 ms/batch); gblocked=0 restores the XLA fallback
     geglu_blocked: Optional[bool] = None
 
 

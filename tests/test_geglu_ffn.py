@@ -120,8 +120,8 @@ def test_blocked_forward_matches_reference():
 
 def test_blocked_gating_wide_site():
     """The real 16^2 geometry (C=1280, F=5120, rows=2048): resident kernel
-    rejects (weights 39 MB bf16 > VMEM), blocked admits — but only behind
-    the geglu_blocked flag."""
+    rejects (weights 39 MB bf16 > VMEM), blocked admits — default ON since
+    the 2026-08-19 A/B win; gblocked=0 restores the XLA fallback."""
     from ctrlora_tpu.ops.geglu_ffn import _pick_blocked
     from ctrlora_tpu.ops.kernel_flags import override
 
@@ -130,6 +130,6 @@ def test_blocked_gating_wide_site():
     x = jnp.zeros((8, 256, 1280), jnp.bfloat16)
     w1 = jnp.zeros((1280, 10240), jnp.bfloat16)
     with override(geglu_ffn=True):
-        assert not geglu_ffn_ok(x, w1)
-    with override(geglu_ffn=True, geglu_blocked=True):
         assert geglu_ffn_ok(x, w1)
+    with override(geglu_ffn=True, geglu_blocked=False):
+        assert not geglu_ffn_ok(x, w1)
