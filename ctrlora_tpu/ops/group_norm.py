@@ -52,11 +52,75 @@ def _apply_kernel(x_ref, a_ref, b_ref, o_ref, *, silu):
     o_ref[0] = y.astype(o_ref.dtype)
 
 
+def _onepass_kernel(x_ref, scale_ref, bias_ref, row_ref, o_ref, *, silu,
+                    num_groups, eps, strip, has_row):
+    """Single-pass GroupNorm(+SiLU): the whole [hw, c] sample sits in VMEM,
+    so x is read from HBM once (stats) and written once (apply) — 2x tensor
+    traffic, the bandwidth floor — instead of the two-kernel path's 3x
+    (stats read + apply read + write). Strip-mined so the fp32 temporaries
+    stay small; the per-group reduction that the two-pass design pushed to
+    an XLA epilogue runs in-kernel as two tiny matmuls against a [c, G]
+    group-indicator matrix (no lane-dim reshapes)."""
+    hw, c = x_ref.shape[1], x_ref.shape[2]
+    cpg = c // num_groups
+
+    def stats_body(i, carry):
+        s, q = carry
+        xs = x_ref[0, pl.ds(i * strip, strip), :].astype(jnp.float32)
+        return (s + jnp.sum(xs, axis=0, keepdims=True),
+                q + jnp.sum(xs * xs, axis=0, keepdims=True))
+
+    zero = jnp.zeros((1, c), jnp.float32)
+    s, q = jax.lax.fori_loop(0, hw // strip, stats_body, (zero, zero))
+    if has_row:
+        row = row_ref[0]  # [1, c] fp32
+        # GN(x + row) from moments of x (see fused_group_norm docstring)
+        q = q + 2.0 * row * s + hw * row * row
+        s = s + hw * row
+    # group-indicator matmuls: [1,c]@[c,G] sums each contiguous channel
+    # group; @[G,c] broadcasts the per-group stat back per channel
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 0)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
+    m = (ch // cpg == gr).astype(jnp.float32)  # [c, G]
+    n = hw * cpg
+    dot = functools.partial(jax.lax.dot_general,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    mean_c = dot(dot(s, m) / n, m.T)  # [1, c], constant within each group
+    msq_c = dot(dot(q, m) / n, m.T)
+    inv_c = jax.lax.rsqrt(msq_c - mean_c * mean_c + eps)
+    a = inv_c * scale_ref[0]
+    bb = bias_ref[0] - mean_c * a
+    if has_row:
+        bb = bb + row_ref[0] * a
+
+    def apply_body(i, _):
+        xs = x_ref[0, pl.ds(i * strip, strip), :].astype(jnp.float32)
+        y = xs * a + bb
+        if silu:
+            y = y * jax.nn.sigmoid(y)
+        o_ref[0, pl.ds(i * strip, strip), :] = y.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, hw // strip, apply_body, 0)
+
+
 # cap block elements so the kernel's VMEM stack (bf16 in/out + fp32
 # convert + fp32 square) stays well under the 16MB scoped limit: at 2^17
 # elements the fp32 temporaries are 512KB each (VAE encoder blocks at
 # 512^2 / C=512 OOMed with unbounded blocks)
 _MAX_BLOCK_ELEMS = 1 << 17
+
+# one-pass eligibility: the whole [hw, c] sample (in + out blocks) must sit
+# in VMEM next to the fp32 strip temporaries. 3MB covers every UNet site
+# (64^2 x 320 = 2.5MB the largest); the VAE's 512^2/256^2 decoder tensors
+# stay on the two-pass path
+_ONEPASS_MAX_BYTES = 3 * 1024 * 1024
+# lower bound (elements): the one-pass win is per-instance overhead
+# amortization; below this the two small kernels beat one serial one
+# (on-chip microbench 2026-08-19). Tests monkeypatch this to 0 to exercise
+# the kernel on small interpret-mode shapes.
+_ONEPASS_MIN_ELEMS = 1 << 19
 
 
 def _pick_hw_block(hw: int, c: int) -> Optional[int]:
@@ -64,6 +128,21 @@ def _pick_hw_block(hw: int, c: int) -> Optional[int]:
         if cand <= hw and hw % cand == 0 and cand * c <= _MAX_BLOCK_ELEMS:
             return cand
     return None
+
+
+def _onepass_ok(hw: int, c: int, dtype, num_groups: int) -> bool:
+    from ctrlora_tpu.ops.kernel_flags import flags
+
+    forced = flags().gn_onepass
+    if forced is False:
+        return False
+    if forced is None:
+        forced = False  # default pending its end-to-end A/B (gn1=1 enables)
+    return (forced
+            and hw * c >= _ONEPASS_MIN_ELEMS
+            and hw * c * jnp.dtype(dtype).itemsize <= _ONEPASS_MAX_BYTES
+            and c % num_groups == 0
+            and _pick_hw_block(hw, c) is not None)
 
 
 def _on_tpu() -> bool:
@@ -104,6 +183,35 @@ def fused_group_norm(
     blk = _pick_hw_block(hw, c)
     if interpret is None:
         interpret = not _on_tpu()
+
+    if _onepass_ok(hw, c, x.dtype, num_groups):
+        has_row = add_row is not None
+        if has_row:
+            row = add_row.astype(jnp.float32).reshape(-1, 1, c)
+            rb = row.shape[0]  # 1 (shared) or b (per-sample)
+        else:
+            row = jnp.zeros((1, 1, c), jnp.float32)
+            rb = 1
+        out = pl.pallas_call(
+            functools.partial(
+                _onepass_kernel, silu=silu, num_groups=num_groups, eps=eps,
+                strip=blk, has_row=has_row,
+            ),
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, c), lambda i: (0, 0)),
+                pl.BlockSpec((1, c), lambda i: (0, 0)),
+                pl.BlockSpec((1, 1, c),
+                             (lambda i: (i, 0, 0)) if rb > 1
+                             else (lambda i: (0, 0, 0))),
+            ],
+            out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
+            interpret=interpret,
+        )(xf, scale[None].astype(jnp.float32),
+          bias[None].astype(jnp.float32), row)
+        return out.reshape(orig_shape)
 
     xsum, xsq = pl.pallas_call(
         _stats_kernel,

@@ -39,6 +39,8 @@ runtime configuration surface is:
       gblocked=0|1   f-blocked GEGLU kernel at the wide 16^2/8^2 FFN sites
                      whose weights exceed VMEM (default on; ledger
                      2026-08-19: 4.036 vs 4.090 s/batch)
+      gn1=0|1        one-pass VMEM-resident GroupNorm for samples <= 3MB
+                     (2x HBM traffic instead of the two-pass 3x)
 
   * :func:`override` / :func:`set_flags` — programmatic overrides for tests
     and the perf/ A/B harnesses (same fields, no subprocess needed).
@@ -106,13 +108,19 @@ class KernelFlags:
     # s/batch — the XLA path there ran ~0.47 MFU, add_add_fusion.7x,
     # 102 ms/batch); gblocked=0 restores the XLA fallback
     geglu_blocked: Optional[bool] = None
+    # one-pass GroupNorm for samples that fit VMEM whole: x read from HBM
+    # once instead of the two-kernel path's twice (profile 2026-08-19: GN
+    # bucket 160 ms/batch at ~1.45x the bandwidth floor). None -> pending
+    # A/B; gn1=1 enables, gn1=0 forces the two-pass path
+    gn_onepass: Optional[bool] = None
 
 
 _ENV = "CTRLORA_KERNELS"
 _BOOL_FIELDS = {"geglu": "geglu_ffn", "fused_gn": "fused_group_norm",
                 "split_res_add": "split_res_add", "fuse_qkv": "fuse_qkv",
                 "clamp": "attn_clamp", "apipe": "attn_pipe",
-                "qkvpack": "attn_qkv_packed", "gblocked": "geglu_blocked"}
+                "qkvpack": "attn_qkv_packed", "gblocked": "geglu_blocked",
+                "gn1": "gn_onepass"}
 _INT_FIELDS = {"bq": "block_q", "bk": "block_k", "packed_bq": "packed_block_q",
                "gsplit": "geglu_split", "hpack": "head_pack"}
 _parse_cache: dict[str, KernelFlags] = {}

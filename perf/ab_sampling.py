@@ -168,6 +168,9 @@ def main():
         # hoist cross-attn K|V of the loop-invariant context out of the scan
         # (~23 sites x 50 steps of identical [616,768]@[768,2C] dots)
         "kvh": dict(use_fused=True, unroll=1, flags=None, kv_hoist=True),
+        # one-pass VMEM-resident GroupNorm at the >=2^19-element sites
+        # (microbench 2026-08-19: 3.5x at 32^2 x 640, neutral at 64^2 x 320)
+        "gn1": dict(use_fused=True, unroll=1, flags=dict(gn_onepass=True)),
     }
     names = [v for v in args.variants.split(",") if v in specs]
 

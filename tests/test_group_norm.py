@@ -96,6 +96,73 @@ def test_add_row_fold_matches_explicit_add():
             )
 
 
+def test_onepass_matches_two_pass(rng, monkeypatch):
+    """The one-pass VMEM-resident kernel (gn1=1) must match the two-pass
+    default in fp32 stats semantics, for every row variant and silu, on
+    both NHWC and [B,S,C] shapes (size gate patched out so the interpret
+    run stays small)."""
+    from ctrlora_tpu.ops import group_norm as gn_mod
+    from ctrlora_tpu.ops import kernel_flags
+
+    monkeypatch.setattr(gn_mod, "_ONEPASS_MIN_ELEMS", 0)
+    c = 64
+    x4 = jnp.asarray(rng.normal(0, 1, (2, 8, 8, c)).astype(np.float32))
+    x3 = jnp.asarray(rng.normal(0, 1, (1, 64, c)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(1, 0.1, (c,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0, 0.1, (c,)).astype(np.float32))
+    for x in (x4, x3):
+        for row_shape in (None, (c,), (x.shape[0], c)):
+            row = (None if row_shape is None else
+                   jnp.asarray(rng.normal(0, 1, row_shape).astype(np.float32)))
+            for silu in (False, True):
+                want = fused_group_norm(x, scale, bias, 32, 1e-5, silu,
+                                        interpret=True, add_row=row)
+                with kernel_flags.override(gn_onepass=True):
+                    hw = int(np.prod(x.shape[1:-1]))
+                    assert gn_mod._onepass_ok(hw, c, x.dtype, 32)
+                    got = fused_group_norm(x, scale, bias, 32, 1e-5, silu,
+                                           interpret=True, add_row=row)
+                np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                           rtol=1e-5, atol=1e-5)
+
+
+def test_onepass_gating():
+    """One-pass stays off by default, respects gn1=0, and never claims
+    samples larger than the VMEM budget."""
+    from ctrlora_tpu.ops import kernel_flags
+    from ctrlora_tpu.ops.group_norm import _onepass_ok
+
+    assert not _onepass_ok(64 * 64, 320, jnp.bfloat16, 32)  # default: off
+    with kernel_flags.override(gn_onepass=True):
+        assert _onepass_ok(64 * 64, 320, jnp.bfloat16, 32)  # 2.5MB: fits
+        assert _onepass_ok(32 * 32, 640, jnp.bfloat16, 32)  # the 3.5x win
+        assert not _onepass_ok(64 * 64, 512, jnp.bfloat16, 32)  # 4MB: VAE site
+        assert not _onepass_ok(512 * 512, 128, jnp.bfloat16, 32)
+        # below the 2^19-element floor the two-pass path wins (microbench)
+        assert not _onepass_ok(16 * 16, 1280, jnp.bfloat16, 32)
+        assert not _onepass_ok(8 * 8, 1280, jnp.bfloat16, 32)
+    with kernel_flags.override(gn_onepass=False):
+        assert not _onepass_ok(64 * 64, 320, jnp.bfloat16, 32)
+
+
+def test_onepass_bf16_io(rng, monkeypatch):
+    from ctrlora_tpu.ops import group_norm as gn_mod
+    from ctrlora_tpu.ops import kernel_flags
+
+    monkeypatch.setattr(gn_mod, "_ONEPASS_MIN_ELEMS", 0)
+    xb = jnp.asarray(rng.normal(0, 1, (1, 16, 16, 64)), jnp.bfloat16)
+    scale = jnp.ones((64,), jnp.float32)
+    bias = jnp.zeros((64,), jnp.float32)
+    want = _plain_group_norm(xb, scale, bias, 32, 1e-5, True)
+    with kernel_flags.override(gn_onepass=True):
+        got = fused_group_norm(xb, scale, bias, 32, 1e-5, True, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
 def test_add_row_gradients_flow():
     """d/d(add_row) of the custom-vjp group_norm must match the gradient of
     the explicit-add formulation (training uses this path for emb_proj)."""
