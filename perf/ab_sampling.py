@@ -45,6 +45,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# share bench.py's persistent compilation cache: each variant's 50-step scan
+# costs ~10 min through the remote AOT compiler; cached recompiles skip it
+# (compiler_options participate in the cache key, so copts variants stay
+# distinct executables)
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         ".jax_cache"),
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+except Exception:
+    pass
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -171,6 +188,17 @@ def main():
         # one-pass VMEM-resident GroupNorm at the >=2^19-element sites
         # (microbench 2026-08-19: 3.5x at 32^2 x 640, neutral at 64^2 x 320)
         "gn1": dict(use_fused=True, unroll=1, flags=dict(gn_onepass=True)),
+        # XLA compiler-option variants (per-compile, same process — JAX
+        # passes these to the TPU compiler at .compile() time). Targets the
+        # 50.8% conv bucket at 0.75 MFU: a larger scoped-VMEM budget lets
+        # the conv emitter pick bigger tiles / deeper pipelining (v5e has
+        # 128 MiB VMEM; the default scoped budget is far smaller)
+        "vmem32": dict(use_fused=True, unroll=1, flags=None,
+                       copts={"xla_tpu_scoped_vmem_limit_kib": "32768"}),
+        "vmem64": dict(use_fused=True, unroll=1, flags=None,
+                       copts={"xla_tpu_scoped_vmem_limit_kib": "65536"}),
+        "vmem96": dict(use_fused=True, unroll=1, flags=None,
+                       copts={"xla_tpu_scoped_vmem_limit_kib": "98304"}),
     }
     names = [v for v in args.variants.split(",") if v in specs]
 
@@ -189,7 +217,8 @@ def main():
                 s.get("guidance", 7.5), s.get("control", True),
                 s.get("hoist", True), s.get("kv_hoist", False),
             )
-            c = jax.jit(fn).lower(params, fused, hint, ids, rng).compile()
+            c = jax.jit(fn).lower(params, fused, hint, ids, rng).compile(
+                compiler_options=s.get("copts"))
             print(f"[{name}] compiled in {time.perf_counter()-t0:.0f}s", flush=True)
         finally:
             kernel_flags.clear_flags()

@@ -42,6 +42,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# share bench.py's persistent compilation cache (see perf/ab_sampling.py)
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         ".jax_cache"),
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+except Exception:
+    pass
+
 
 def main():
     p = argparse.ArgumentParser()
