@@ -178,6 +178,23 @@ def test_clip_score_parity(tiny_clip, rng):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
 
 
+def test_accumulator_streaming_mean(rng):
+    """Accumulator glue without the heavy towers (fast lane): streaming mean
+    over two unequal batches must equal the concatenated-batch metrics."""
+    acc = MetricAccumulator()
+    a1 = rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32)
+    b1 = rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32)
+    a2 = rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32)
+    b2 = rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32)
+    acc.update(a1, b1)
+    acc.update(a2, b2)
+    out = acc.compute()
+    assert set(out) == {"mse", "psnr", "ssim"}
+    want_mse = (2 * np.mean((a1 - b1) ** 2) + 1 * np.mean((a2 - b2) ** 2)) / 3
+    np.testing.assert_allclose(out["mse"], want_mse, rtol=1e-5)
+
+
+@pytest.mark.slow  # compiles the LPIPS net + CLIP tower (fast-lane budget)
 def test_accumulator_all_five_metrics(tiny_clip, rng):
     _, sd = tiny_clip
     scorer = CLIPScorer.from_torch_state(sd)

@@ -81,19 +81,20 @@ def test_add_row_fold_matches_explicit_add():
     x = jnp.asarray(rng.normal(size=(2, 8, 8, 64)).astype(np.float32))
     scale = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
     bias = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
-    for shape in [(64,), (1, 64), (2, 64)]:
+    # every row form once, silu alternating (each combo is an interpret-mode
+    # trace, ~2s on the 1-core CI host — fast-lane budget)
+    for shape, silu in [((64,), True), ((1, 64), False), ((2, 64), True)]:
         row = jnp.asarray(rng.normal(size=shape).astype(np.float32))
-        for silu in (False, True):
-            ref = fused_group_norm(
-                x + row.reshape(-1, 1, 1, 64), scale, bias, 32, 1e-5, silu,
-                interpret=True,
-            )
-            out = fused_group_norm(
-                x, scale, bias, 32, 1e-5, silu, interpret=True, add_row=row
-            )
-            np.testing.assert_allclose(
-                np.asarray(out), np.asarray(ref), atol=1e-5
-            )
+        ref = fused_group_norm(
+            x + row.reshape(-1, 1, 1, 64), scale, bias, 32, 1e-5, silu,
+            interpret=True,
+        )
+        out = fused_group_norm(
+            x, scale, bias, 32, 1e-5, silu, interpret=True, add_row=row
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5
+        )
 
 
 def test_onepass_matches_two_pass(rng, monkeypatch):
@@ -110,20 +111,23 @@ def test_onepass_matches_two_pass(rng, monkeypatch):
     x3 = jnp.asarray(rng.normal(0, 1, (1, 64, c)).astype(np.float32))
     scale = jnp.asarray(rng.normal(1, 0.1, (c,)).astype(np.float32))
     bias = jnp.asarray(rng.normal(0, 0.1, (c,)).astype(np.float32))
-    for x in (x4, x3):
-        for row_shape in (None, (c,), (x.shape[0], c)):
-            row = (None if row_shape is None else
-                   jnp.asarray(rng.normal(0, 1, row_shape).astype(np.float32)))
-            for silu in (False, True):
-                want = fused_group_norm(x, scale, bias, 32, 1e-5, silu,
-                                        interpret=True, add_row=row)
-                with kernel_flags.override(gn_onepass=True):
-                    hw = int(np.prod(x.shape[1:-1]))
-                    assert gn_mod._onepass_ok(hw, c, x.dtype, 32)
-                    got = fused_group_norm(x, scale, bias, 32, 1e-5, silu,
-                                           interpret=True, add_row=row)
-                np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                           rtol=1e-5, atol=1e-5)
+    # variant set trimmed for the fast lane: x4 covers every row form (silu
+    # alternates to cover both); x3 covers the [B,S,C] layout once per silu.
+    # Each combo costs an interpret-mode trace (~2s on the 1-core CI host).
+    combos = [(x4, None, False), (x4, (c,), True), (x4, (x4.shape[0], c), True),
+              (x3, None, True), (x3, (c,), False)]
+    for x, row_shape, silu in combos:
+        row = (None if row_shape is None else
+               jnp.asarray(rng.normal(0, 1, row_shape).astype(np.float32)))
+        want = fused_group_norm(x, scale, bias, 32, 1e-5, silu,
+                                interpret=True, add_row=row)
+        with kernel_flags.override(gn_onepass=True):
+            hw = int(np.prod(x.shape[1:-1]))
+            assert gn_mod._onepass_ok(hw, c, x.dtype, 32)
+            got = fused_group_norm(x, scale, bias, 32, 1e-5, silu,
+                                   interpret=True, add_row=row)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_onepass_gating():

@@ -155,12 +155,14 @@ def test_load_ip_adapter_into_tiny():
     np.testing.assert_allclose(
         node["to_k_ip"]["kernel"], ip_sd["1.to_k_ip.weight"].T
     )
-    # model still applies
-    out = unet.apply(
-        jax.tree_util.tree_map(jnp.asarray, tree), x,
+    # model still applies: trace-level check (eval_shape) — the numeric ip
+    # path is covered by the slow tests below; a full CPU compile here cost
+    # ~25s of fast-lane budget for no extra coverage
+    out = jax.eval_shape(
+        unet.apply, jax.tree_util.tree_map(jnp.asarray, tree), x,
         jnp.zeros((1,), jnp.int32), jnp.zeros((1, 18, 64)),
     )
-    assert np.isfinite(np.asarray(out)).all()
+    assert out.shape == (1, 8, 8, 4)
 
 
 @pytest.mark.slow

@@ -28,7 +28,9 @@ from ctrlora_tpu.training.step import loss_for_batch
 def tiny():
     cfg = tiny_test_config(n_loras=1, hint_mode="latent")
     pipe = CtrLoraPipeline(cfg)
-    params = pipe.init(jax.random.PRNGKey(0), image_size=32)
+    # param shapes are spatial-size independent; init at the smallest legal
+    # size (4x VAE downsampling) — tracing at 32 cost ~100s of fast-lane CPU
+    params = pipe.init(jax.random.PRNGKey(0), image_size=8)
     return pipe, params
 
 
