@@ -25,13 +25,14 @@ sizes; see shard_largest_axis for the ZeRO-style optimizer-state shard).
 Because GSPMD is semantics-preserving, TP mode is bit-compatible with the
 single-device graph up to reduction order.
 
-Pallas kernels (flash attention, fused GEGLU) are *custom calls*: XLA
-cannot repartition their insides, so under TP they would force all-gathers
-of the very activations we sharded. ``tensor_parallel()`` therefore pins
-the kernel flags to the pure-XLA paths for the duration of the trace —
-head-sharded XLA attention partitions cleanly. (A shard_map'd flash kernel
-is the future upgrade path if per-device sequence lengths grow past the
-XLA-attention crossover.)
+Pallas kernels are *custom calls*: XLA cannot repartition their insides,
+so under TP a naively-placed kernel would force all-gathers of the very
+activations we sharded. ``tensor_parallel()`` handles this per kernel:
+flash attention stays ON — transformer attention routes through
+:func:`attention_bshd`, which ``shard_map``s the packed Pallas kernel
+over whole head groups (each device runs it on its local heads, zero
+collectives) — while the fused GEGLU / GroupNorm / qkv-fusion flags are
+pinned to their pure-XLA paths, which GSPMD partitions cleanly.
 
 Usage::
 
